@@ -1,0 +1,35 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices so mesh-sharded code paths are
+exercised without TPU hardware (SURVEY.md §4's improvement slot: real pytest
+with jax CPU multi-device simulation). Must run before jax is imported.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# Parity tests compare against float64-free torch; keep matmuls exact.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+REFERENCE_DIR = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+def has_torch() -> bool:
+    try:
+        import torch  # noqa: F401
+        return True
+    except ImportError:
+        return False
