@@ -1,0 +1,363 @@
+"""DAT expert (Dual Aggregation Transformer, ICCV'23), TPU-native.
+
+Re-design of the reference's DAT (/root/reference/src/models/dat/dat_arch.py)
+as NHWC flax modules with static shapes:
+
+- Tensors stay [B,H,W,C]; the reference's token-form [B,N,C] reshuffling
+  disappears (LayerNorm/Dense act on the last axis directly).
+- Window masks / relative-position tables are numpy constants built at trace
+  time (ops/windows.py) — no registered buffers, no dynamic mask branch.
+- BatchNorms inside AIM run in frozen-expert eval mode (`BatchNormEval`
+  affine with running stats as params).
+- The deep feature the fusion head consumes (output of `conv_after_body`,
+  [B,H,W,180] — hook-captured in the reference, expert_loader.py:817-883) is
+  an explicit second return value.
+
+Shipped ensemble config (expert_loader.py:412-420): embed 180, 6 groups × 6
+blocks, heads 6, split_size [8,32], expansion 4.0, img_range 1.0,
+'pixelshuffle' upsampler, rgb_mean (0.4488, 0.4371, 0.4040).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import windows as W
+from ..ops.common import pixel_shuffle
+
+RGB_MEAN = (0.4488, 0.4371, 0.4040)
+
+
+class BatchNormEval(nn.Module):
+    """BatchNorm2d in eval mode: fixed affine with running statistics.
+
+    The experts are frozen at both train and inference time, so BN is always
+    an affine transform; storing running stats as (frozen) params keeps the
+    whole expert a plain param pytree.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("running_var", nn.initializers.ones, (self.features,))
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return x * inv + (bias - mean * inv)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class DynamicPosBias(nn.Module):
+    """CrossFormer dynamic relative position bias MLP: 2 → pos_dim →
+    pos_dim → pos_dim → num_heads (LayerNorm+ReLU between).
+
+    `dim` is the constructor dim; the effective pos_dim is dim // 4 (the
+    reference divides again inside DynamicPosBias, dat_arch.py:181-186, so
+    with branch dim D the MLP width is D/16)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, biases):  # [(2h-1)(2w-1), 2]
+        x = nn.Dense(self.dim // 4, name="pos_proj")(biases)
+        for i in (1, 2):
+            h = nn.LayerNorm(epsilon=1e-5, name=f"pos{i}_norm")(x)
+            x = nn.Dense(self.dim // 4, name=f"pos{i}_fc")(jax.nn.relu(h))
+        h = nn.LayerNorm(epsilon=1e-5, name="pos3_norm")(x)
+        return nn.Dense(self.num_heads, name="pos3_fc")(jax.nn.relu(h))
+
+
+class SpatialWindowAttention(nn.Module):
+    """Rectangular-window MHA over one C/2 branch, with dynamic pos bias.
+
+    Operates on pre-projected q,k,v images [B,H,W,Cb]; window shape is
+    (hs,ws); optional shifted-window mask is a [nW,N,N] constant.
+    """
+
+    dim: int
+    num_heads: int
+    hs: int
+    ws: int
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None):
+        b, h, w, c = q.shape
+        hd = c // self.num_heads
+        n = self.hs * self.ws
+
+        def to_wins(t):
+            t = W.window_partition(t, self.hs, self.ws)  # [B*nW, N, C]
+            t = t.reshape(-1, n, self.num_heads, hd)
+            return jnp.transpose(t, (0, 2, 1, 3))  # [B*nW, heads, N, hd]
+
+        qw, kw, vw = to_wins(q), to_wins(k), to_wins(v)
+        scale = hd ** -0.5
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qw * scale, kw,
+                          preferred_element_type=jnp.float32)
+
+        pos = DynamicPosBias(self.dim // 4, self.num_heads, name="pos")(
+            jnp.asarray(W.relative_coords_table(self.hs, self.ws)))
+        rpi = W.relative_position_index(self.hs, self.ws).reshape(-1)
+        bias = pos[rpi].reshape(n, n, self.num_heads)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b, nw, self.num_heads, n, n) + mask[None, :, None]
+            attn = attn.reshape(-1, self.num_heads, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vw,
+                         preferred_element_type=jnp.float32)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, n, c)
+        return W.window_reverse(out, self.hs, self.ws, h, w)
+
+
+class AIMConvBranch(nn.Module):
+    """Depthwise conv branch + the two AIM interaction heads."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, v_img):
+        x = nn.Conv(self.dim, (3, 3), feature_group_count=self.dim,
+                    name="dwconv")(v_img)
+        x = BatchNormEval(self.dim, name="dwconv_bn")(x)
+        return gelu(x)
+
+
+class ChannelInteraction(nn.Module):
+    """AIM C-Map: GAP → 1×1 (C→C/8) → BN → GELU → 1×1 (C/8→C)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = nn.Conv(self.dim // 8, (1, 1), name="fc1")(g)
+        g = BatchNormEval(self.dim // 8, name="bn")(g)
+        g = nn.Conv(self.dim, (1, 1), name="fc2")(gelu(g))
+        return g  # [B,1,1,C]
+
+
+class SpatialInteraction(nn.Module):
+    """AIM S-Map: 1×1 (C→C/16) → BN → GELU → 1×1 (→1)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.Conv(self.dim // 16, (1, 1), name="fc1")(x)
+        s = BatchNormEval(self.dim // 16, name="bn")(s)
+        s = nn.Conv(1, (1, 1), name="fc2")(gelu(s))
+        return s  # [B,H,W,1]
+
+
+def _should_shift(rg_idx: int, b_idx: int) -> bool:
+    return ((rg_idx % 2 == 0 and b_idx > 0 and (b_idx - 2) % 4 == 0)
+            or (rg_idx % 2 != 0 and b_idx % 4 == 0))
+
+
+class AdaptiveSpatialAttention(nn.Module):
+    """Dual rectangular-window spatial attention + AIM (dat_arch.py:347-563)."""
+
+    dim: int
+    num_heads: int
+    split_size: Sequence[int]
+    shift_size: Sequence[int]
+    rg_idx: int
+    b_idx: int
+
+    @nn.compact
+    def __call__(self, x):  # [B,H,W,C]
+        b, h, w, c = x.shape
+        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        s0, s1 = self.split_size
+        sh0, sh1 = self.shift_size
+        mx = max(s0, s1)
+        ph, pw = (mx - h % mx) % mx, (mx - w % mx) % mx
+        _h, _w = h + ph, w + pw
+
+        def pad(t):
+            return jnp.pad(t, [(0, 0), (0, ph), (0, pw), (0, 0)]) if (ph or pw) else t
+
+        qp, kp, vp = pad(q), pad(k), pad(v)
+        half = c // 2
+        shift = _should_shift(self.rg_idx, self.b_idx)
+
+        outs = []
+        for br, (hs, ws, sh, sw) in enumerate(
+                [(s0, s1, sh0, sh1), (s1, s0, sh1, sh0)]):
+            sl = slice(0, half) if br == 0 else slice(half, c)
+            qb, kb, vb = qp[..., sl], kp[..., sl], vp[..., sl]
+            mask = None
+            if shift:
+                qb, kb, vb = (jnp.roll(t, (-sh, -sw), axis=(1, 2))
+                              for t in (qb, kb, vb))
+                mask = jnp.asarray(W.shift_attn_mask(_h, _w, hs, ws, sh, sw))
+            o = SpatialWindowAttention(half, self.num_heads // 2, hs, ws,
+                                       name=f"attns_{br}")(qb, kb, vb, mask)
+            if shift:
+                o = jnp.roll(o, (sh, sw), axis=(1, 2))
+            outs.append(o[:, :h, :w, :])
+        attened = jnp.concatenate(outs, axis=-1)
+
+        conv_x = AIMConvBranch(c, name="conv_branch")(v)
+        channel_map = ChannelInteraction(c, name="channel_interaction")(conv_x)
+        spatial_map = SpatialInteraction(c, name="spatial_interaction")(attened)
+
+        attened = attened * jax.nn.sigmoid(channel_map)
+        conv_x = conv_x * jax.nn.sigmoid(spatial_map)
+        return nn.Dense(c, name="proj")(attened + conv_x)
+
+
+class AdaptiveChannelAttention(nn.Module):
+    """XCiT-style cross-covariance channel attention + AIM (dat_arch.py:569-666)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):  # [B,H,W,C]
+        b, h, w, c = x.shape
+        n = h * w
+        hd = c // self.num_heads
+        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x).reshape(b, n, 3, self.num_heads, hd)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 4, 1))  # [3,B,heads,hd,N]
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        def l2norm(t):
+            return t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+
+        temperature = self.param("temperature", nn.initializers.ones,
+                                 (self.num_heads, 1, 1))
+        attn = jnp.einsum("bhcn,bhdn->bhcd", l2norm(q), l2norm(k),
+                          preferred_element_type=jnp.float32) * temperature
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhcd,bhdn->bhcn", attn, v,
+                         preferred_element_type=jnp.float32)
+        # [B,heads,hd,N] → [B,N,C] (channel-major concat, as in torch)
+        attened = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, h, w, c)
+
+        v_img = jnp.transpose(v.reshape(b, c, n), (0, 2, 1)).reshape(b, h, w, c)
+        conv_x = AIMConvBranch(c, name="conv_branch")(v_img)
+        channel_map = ChannelInteraction(c, name="channel_interaction")(attened)
+        spatial_map = SpatialInteraction(c, name="spatial_interaction")(conv_x)
+
+        attened = attened * jax.nn.sigmoid(spatial_map)
+        conv_x = conv_x * jax.nn.sigmoid(channel_map)
+        return nn.Dense(c, name="proj")(attened + conv_x)
+
+
+class SGFN(nn.Module):
+    """Spatial-Gate FFN: fc1 → GELU → (x1 ⊙ dwconv(LN(x2))) → fc2."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):  # [B,H,W,C]
+        x = gelu(nn.Dense(self.hidden, name="fc1")(x))
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x2 = nn.LayerNorm(epsilon=1e-5, name="sg_norm")(x2)
+        x2 = nn.Conv(self.hidden // 2, (3, 3),
+                     feature_group_count=self.hidden // 2, name="sg_conv")(x2)
+        return nn.Dense(self.dim, name="fc2")(x1 * x2)
+
+
+class DATB(nn.Module):
+    """Dual Aggregation Transformer Block: alternating spatial/channel attn."""
+
+    dim: int
+    num_heads: int
+    split_size: Sequence[int]
+    expansion: float
+    rg_idx: int
+    b_idx: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        if self.b_idx % 2 == 0:
+            shift = [self.split_size[0] // 2, self.split_size[1] // 2]
+            h = AdaptiveSpatialAttention(
+                self.dim, self.num_heads, self.split_size, shift,
+                self.rg_idx, self.b_idx, name="attn")(h)
+        else:
+            h = AdaptiveChannelAttention(self.dim, self.num_heads, name="attn")(h)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        x = x + SGFN(self.dim, int(self.dim * self.expansion), name="ffn")(h)
+        return x
+
+
+class ResidualGroup(nn.Module):
+    dim: int
+    depth: int
+    num_heads: int
+    split_size: Sequence[int]
+    expansion: float
+    rg_idx: int
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        for j in range(self.depth):
+            x = DATB(self.dim, self.num_heads, self.split_size, self.expansion,
+                     self.rg_idx, j, name=f"blocks_{j}")(x)
+        x = nn.Conv(self.dim, (3, 3), name="conv")(x)
+        return res + x
+
+
+class DAT(nn.Module):
+    """The full DAT ×4 SR model. `__call__(lr [B,H,W,3])` →
+    (sr [B,4H,4W,3], deep_features [B,H,W,embed_dim])."""
+
+    upscale: int = 4
+    embed_dim: int = 180
+    depths: Sequence[int] = (6, 6, 6, 6, 6, 6)
+    num_heads: Sequence[int] = (6, 6, 6, 6, 6, 6)
+    split_size: Sequence[int] = (8, 32)
+    expansion: float = 4.0
+    num_feat: int = 64
+    img_range: float = 1.0
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        mean = jnp.asarray(RGB_MEAN, dtype=x.dtype)
+        x = (x - mean) * self.img_range
+
+        x = nn.Conv(self.embed_dim, (3, 3), name="conv_first")(x)
+        feat = nn.LayerNorm(epsilon=1e-5, name="before_rg_norm")(x)
+        for i, d in enumerate(self.depths):
+            feat = ResidualGroup(self.embed_dim, d, self.num_heads[i],
+                                 self.split_size, self.expansion, i,
+                                 name=f"layers_{i}")(feat)
+        feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
+        deep = nn.Conv(self.embed_dim, (3, 3), name="conv_after_body")(feat)
+        x = deep + x
+
+        x = nn.Conv(self.num_feat, (3, 3), name="conv_before_upsample")(x)
+        x = jnp.where(x >= 0, x, 0.01 * x)  # LeakyReLU(0.01)
+        for s in range(int(math.log2(self.upscale))):
+            x = nn.Conv(4 * self.num_feat, (3, 3), name=f"upsample_{s}")(x)
+            x = pixel_shuffle(x, 2)
+        x = nn.Conv(3, (3, 3), name="conv_last")(x)
+
+        x = x / self.img_range + mean
+        return x, deep

@@ -1,0 +1,78 @@
+"""Window-attention utilities shared by the DAT and HAT experts.
+
+All table/mask builders run in **numpy at trace time** (shapes are static
+under jit), so the device program sees them as constants — no data-dependent
+control flow, no `.item()`; the TPU-first replacement for the reference's
+buffer registration + on-the-fly mask recompute (dat_arch.py:426-489,
+hat_arch.py:882-940).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_partition(x: jnp.ndarray, hs: int, ws: int) -> jnp.ndarray:
+    """[B,H,W,C] → [B*nW, hs*ws, C] (row-major windows, torch ordering)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // hs, hs, w // ws, ws, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(-1, hs * ws, c)
+
+
+def window_reverse(wins: jnp.ndarray, hs: int, ws: int, h: int, w: int) -> jnp.ndarray:
+    """[B*nW, hs*ws, C] → [B,H,W,C]."""
+    c = wins.shape[-1]
+    b = wins.shape[0] // ((h // hs) * (w // ws))
+    x = wins.reshape(b, h // hs, w // ws, hs, ws, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, h, w, c)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(hs: int, ws: int) -> np.ndarray:
+    """Swin-style relative position index table, [hs*ws, hs*ws] int32.
+
+    Index into a (2hs-1)(2ws-1) bias table; ordering matches torch's
+    meshgrid(indexing='ij') + flatten construction.
+    """
+    coords = np.stack(np.meshgrid(np.arange(hs), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += hs - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_coords_table(hs: int, ws: int) -> np.ndarray:
+    """All relative (dy,dx) offsets, [(2hs-1)*(2ws-1), 2] float32 — the input
+    the DAT DynamicPosBias MLP is evaluated on."""
+    bh = np.arange(1 - hs, hs)
+    bw = np.arange(1 - ws, ws)
+    grid = np.stack(np.meshgrid(bh, bw, indexing="ij"))
+    return grid.reshape(2, -1).T.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def shift_attn_mask(h: int, w: int, hs: int, ws: int, sh: int, sw: int) -> np.ndarray:
+    """Shifted-window attention mask, [nW, hs*ws, hs*ws] float32 {0,-100}.
+
+    Labels image regions by shift boundary, partitions into (hs,ws) windows,
+    and masks cross-region pairs — semantics of Swin/DAT mask construction.
+    """
+    img = np.zeros((h, w), dtype=np.int32)
+    cnt = 0
+    for hsl in (slice(0, h - hs), slice(h - hs, h - sh), slice(h - sh, h)):
+        for wsl in (slice(0, w - ws), slice(w - ws, w - sw), slice(w - sw, w)):
+            img[hsl, wsl] = cnt
+            cnt += 1
+    img = img.reshape(h // hs, hs, w // ws, ws).transpose(0, 2, 1, 3)
+    wins = img.reshape(-1, hs * ws)
+    diff = wins[:, None, :] - wins[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)

@@ -1,0 +1,181 @@
+"""PyTorch → JAX checkpoint conversion.
+
+The reference ships three expert checkpoints (HAT-L / DAT / NAFNet `.pth`)
+plus the trained fusion-head checkpoint. This module converts them into the
+framework's NHWC flax param pytrees, reproducing the reference's tolerant
+loading semantics (`expert_loader.load_checkpoint_flexible`, lines 99-169:
+unwrap `params_ema`/`params`/`state_dict`/`model`, strip `module.`/`model.`
+prefixes, shape-checked partial load).
+
+Machinery: a flax param tree is flattened to path tuples; a per-model
+`key_fn(path) -> torch_key` translates each path to the torch state-dict key;
+tensors are transposed by rank (conv OIHW→HWIO, linear OI→IO) or reshaped.
+This direction (walk *our* tree, pull from torch) guarantees every parameter
+of the new model is either filled or explicitly reported.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+
+from flax import traverse_util
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth into {key: np.ndarray}, with flexible unwrapping."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("params_ema", "params", "state_dict", "model", "model_state_dict"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                ckpt = ckpt[key]
+                break
+    out = {}
+    for k, v in ckpt.items():
+        if hasattr(v, "detach"):
+            for pref in ("module.", "model."):
+                if k.startswith(pref):
+                    k = k[len(pref):]
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _adapt(torch_arr: np.ndarray, flax_shape: Tuple[int, ...]) -> np.ndarray:
+    """Convert a torch tensor to the flax leaf layout."""
+    a = np.asarray(torch_arr)
+    if a.ndim == 4 and len(flax_shape) == 4:
+        a = np.transpose(a, (2, 3, 1, 0))  # OIHW → HWIO
+    elif a.ndim == 2 and len(flax_shape) == 2 and a.shape == flax_shape[::-1]:
+        a = a.T  # linear OI → IO
+    if a.shape != tuple(flax_shape):
+        a = a.reshape(flax_shape)
+    return a
+
+
+def fill_params(flax_params, torch_sd: Dict[str, np.ndarray],
+                key_fn: Callable[[Tuple[str, ...]], str],
+                strict: bool = True):
+    """Fill a flax param tree from a torch state dict.
+
+    Returns (new_params, report) where report lists missing/unused keys.
+    With strict=True a missing torch key raises; strict=False keeps the
+    existing (random-init) leaf like the reference's strict=False load.
+    """
+    flat = traverse_util.flatten_dict(flax_params)
+    used, missing = set(), []
+    out = {}
+    for path, leaf in flat.items():
+        tkey = key_fn(path)
+        if tkey in torch_sd:
+            out[path] = _adapt(torch_sd[tkey], leaf.shape).astype(np.asarray(leaf).dtype)
+            used.add(tkey)
+        else:
+            if strict:
+                raise KeyError(f"torch key {tkey!r} (for flax path {path}) not found")
+            missing.append((path, tkey))
+            out[path] = leaf
+    unused = [k for k in torch_sd if k not in used]
+    report = {"missing": missing, "unused": unused,
+              "loaded": len(used), "total": len(flat)}
+    return traverse_util.unflatten_dict(out), report
+
+
+_IDX = re.compile(r"^(.*)_(\d+)$")
+
+
+def _split_idx(name: str):
+    m = _IDX.match(name)
+    return (m.group(1), int(m.group(2))) if m else (name, None)
+
+
+_LEAF = {"kernel": "weight", "bias": "bias", "weight": "weight",
+         "scale": "weight", "beta": "beta", "gamma": "gamma",
+         "running_mean": "running_mean", "running_var": "running_var",
+         "temperature": "temperature"}
+
+#: torch buffer keys that have no parameter equivalent in the new framework
+#: (precomputed tables we rebuild in numpy, BN bookkeeping counters).
+EXPECTED_UNUSED = ("num_batches_tracked", "rpe_biases", "relative_position_index",
+                   "attn_mask", "relative_position_bias_table", "rpi_", "mean")
+
+
+def filter_unused(keys):
+    return [k for k in keys if not any(t in k for t in EXPECTED_UNUSED)]
+
+
+def nafnet_key_fn(path: Tuple[str, ...]) -> str:
+    """Flax path → torch key for the NAFNet backbone state dict.
+
+    ('nafnet','encoders_0','blocks_1','conv1','kernel') → 'encoders.0.1.conv1.weight'
+    ('nafnet','downs_0','kernel')                       → 'downs.0.weight'
+    ('nafnet','ups_0','kernel')                         → 'ups.0.0.weight'
+    ('nafnet','...','sca','kernel')                     → '...sca.1.weight'
+    """
+    parts = [p for p in path if p != "params"]
+    if parts and parts[0] == "nafnet":
+        parts = parts[1:]
+    toks = []
+    for i, p in enumerate(parts[:-1]):
+        base, idx = _split_idx(p)
+        if base == "blocks":
+            toks.append(str(idx))  # torch Sequential flattens stage blocks
+        elif idx is not None:
+            toks.extend([base, str(idx)])
+            if base == "ups":
+                toks.append("0")  # Sequential(conv, PixelShuffle)
+        else:
+            toks.append(p)
+    leaf = _LEAF[parts[-1]]
+    if toks and toks[-1] == "sca":
+        toks.append("1")  # Sequential(AdaptiveAvgPool2d, Conv2d)
+    return ".".join(toks + [leaf]) if toks else leaf
+
+
+# Renames of our structured module paths back to the reference DAT layout.
+_DAT_SEQ = {
+    "before_rg_norm": "before_RG.1",
+    "conv_before_upsample": "conv_before_upsample.0",
+    "dwconv": "dwconv.0",
+    "dwconv_bn": "dwconv.1",
+    "sg_norm": "sg.norm",
+    "sg_conv": "sg.conv",
+    "pos1_norm": "pos1.0",
+    "pos1_fc": "pos1.2",
+    "pos2_norm": "pos2.0",
+    "pos2_fc": "pos2.2",
+    "pos3_norm": "pos3.0",
+    "pos3_fc": "pos3.2",
+}
+_DAT_CI = {"fc1": "1", "bn": "2", "fc2": "4"}   # Sequential(GAP,Conv,BN,GELU,Conv)
+_DAT_SI = {"fc1": "0", "bn": "1", "fc2": "3"}   # Sequential(Conv,BN,GELU,Conv)
+
+
+def dat_key_fn(path: Tuple[str, ...]) -> str:
+    """Flax path → torch key for the DAT state dict.
+
+    ('layers_0','blocks_1','attn','attns_0','pos','pos1_fc','kernel')
+      → 'layers.0.blocks.1.attn.attns.0.pos.pos1.2.weight'
+    """
+    parts = [p for p in path if p != "params"]
+    toks = []
+    for i, p in enumerate(parts[:-1]):
+        base, idx = _split_idx(p)
+        if p == "conv_branch":
+            continue  # our AIM conv-branch wrapper is flat in torch
+        if base == "upsample":
+            toks.extend(["upsample", str(2 * idx)])  # Sequential(conv,PS,conv,PS)
+        elif p in _DAT_SEQ:
+            toks.append(_DAT_SEQ[p])
+        elif p in ("fc1", "bn", "fc2") and i and parts[i - 1] in (
+                "channel_interaction", "spatial_interaction"):
+            table = _DAT_CI if parts[i - 1] == "channel_interaction" else _DAT_SI
+            toks.append(table[p])
+        elif idx is not None:
+            toks.extend([base, str(idx)])
+        else:
+            toks.append(p)
+    return ".".join(toks + [_LEAF[parts[-1]]])
