@@ -1,0 +1,276 @@
+"""HAT-L expert (Hybrid Attention Transformer, CVPR'23), TPU-native.
+
+Re-design of the reference HAT (/root/reference/src/models/hat/hat_arch.py)
+as NHWC flax modules:
+
+- [B,H,W,C] tensors end-to-end; the token-form patch_embed/patch_unembed
+  round-trips of the reference collapse to no-ops (a LayerNorm on the last
+  axis remains).
+- Relative-position indices, shifted-window masks and the OCAB overlapping
+  windows use static numpy tables / gathers (ops/windows.py), replacing
+  registered buffers + nn.Unfold.
+- The deep feature the fusion head consumes (output of `conv_after_body`,
+  hook-captured in the reference) is an explicit second return value.
+
+HAT-L config (hat/__init__.py:63-118): embed 180, 12 RHAG × 6 HAB, heads 6,
+window 16 (shift 8), overlap_ratio 0.5 (OCAB window 24), CAB compress 3 /
+squeeze 30 / conv_scale 0.01, mlp_ratio 2, PixelShuffle ×4, num_feat 64,
+rgb_mean (0.4488, 0.4371, 0.4040). 40.84M params.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import windows as W
+from ..ops.common import pixel_shuffle
+
+RGB_MEAN = (0.4488, 0.4371, 0.4040)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = gelu(nn.Dense(self.hidden, name="fc1")(x))
+        return nn.Dense(self.out, name="fc2")(x)
+
+
+class ChannelAttention(nn.Module):
+    """RCAN channel attention: GAP → 1×1 (C→C/squeeze) → ReLU → 1×1 → sigmoid."""
+
+    features: int
+    squeeze: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.mean(x, axis=(1, 2), keepdims=True)
+        y = jax.nn.relu(nn.Conv(self.features // self.squeeze, (1, 1), name="fc1")(y))
+        y = jax.nn.sigmoid(nn.Conv(self.features, (1, 1), name="fc2")(y))
+        return x * y
+
+
+class CAB(nn.Module):
+    """Conv attention branch of HAB: 3×3 (C→C/compress) → GELU → 3×3 → CA."""
+
+    features: int
+    compress: int = 3
+    squeeze: int = 30
+
+    @nn.compact
+    def __call__(self, x):
+        x = gelu(nn.Conv(self.features // self.compress, (3, 3), name="conv1")(x))
+        x = nn.Conv(self.features, (3, 3), name="conv2")(x)
+        return ChannelAttention(self.features, self.squeeze, name="ca")(x)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA over ws×ws windows with a learned relative-position bias table."""
+
+    dim: int
+    window: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x_windows, mask=None):
+        # x_windows: [B*nW, N, C]
+        bw, n, c = x_windows.shape
+        hd = c // self.num_heads
+        qkv = nn.Dense(3 * c, name="qkv")(x_windows)
+        qkv = qkv.reshape(bw, n, 3, self.num_heads, hd)
+        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) ** 2, self.num_heads))
+        rpi = W.relative_position_index(self.window, self.window).reshape(-1)
+        bias = table[rpi].reshape(n, n, self.num_heads)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bw // nw, nw, self.num_heads, n, n) + mask[None, :, None]
+            attn = attn.reshape(bw, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, n, c)
+        return nn.Dense(c, name="proj")(out)
+
+
+class HAB(nn.Module):
+    """Hybrid Attention Block: (S)W-MSA + 0.01-scaled CAB conv branch + MLP."""
+
+    dim: int
+    num_heads: int
+    window: int
+    shift: int
+    compress: int
+    squeeze: int
+    conv_scale: float
+    mlp_ratio: float
+
+    @nn.compact
+    def __call__(self, x):  # [B,H,W,C]
+        b, h, w, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+
+        conv_x = CAB(c, self.compress, self.squeeze, name="conv_block")(x)
+
+        if self.shift > 0:
+            shifted = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(W.shift_attn_mask(h, w, self.window, self.window,
+                                                 self.shift, self.shift))
+        else:
+            shifted, mask = x, None
+        wins = W.window_partition(shifted, self.window, self.window)
+        wins = WindowAttention(c, self.window, self.num_heads, name="attn")(wins, mask)
+        shifted = W.window_reverse(wins, self.window, self.window, h, w)
+        attn_x = (jnp.roll(shifted, (self.shift, self.shift), axis=(1, 2))
+                  if self.shift > 0 else shifted)
+
+        x = shortcut + attn_x + conv_x * self.conv_scale
+        x = x + Mlp(int(c * self.mlp_ratio), c, name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
+        return x
+
+
+class OCAB(nn.Module):
+    """Overlapping cross-attention block: ws×ws queries attend to
+    (ws+overlap)² keys/values gathered from overlapping windows."""
+
+    dim: int
+    window: int
+    overlap_ratio: float
+    num_heads: int
+    mlp_ratio: float
+
+    @nn.compact
+    def __call__(self, x):  # [B,H,W,C]
+        b, h, w, c = x.shape
+        ws = self.window
+        ows = int(ws * self.overlap_ratio) + ws
+        hd = c // self.num_heads
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        qkv = nn.Dense(3 * c, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        qw = W.window_partition(q, ws, ws)  # [B*nW, ws², C]
+        kw = W.extract_overlapping_windows(k, ws, ows - ws)  # [B*nW, ows², C]
+        vw = W.extract_overlapping_windows(v, ws, ows - ws)
+
+        def heads(t):
+            return jnp.transpose(
+                t.reshape(t.shape[0], t.shape[1], self.num_heads, hd), (0, 2, 1, 3))
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", heads(qw) * (hd ** -0.5), heads(kw),
+                          preferred_element_type=jnp.float32)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((ws + ows - 1) ** 2, self.num_heads))
+        rpi = W.oca_relative_position_index(ws, ows).reshape(-1)
+        bias = table[rpi].reshape(ws * ws, ows * ows, self.num_heads)
+        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, heads(vw),
+                         preferred_element_type=jnp.float32)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, ws * ws, c)
+        x = W.window_reverse(out, ws, ws, h, w)
+
+        x = nn.Dense(c, name="proj")(x) + shortcut
+        x = x + Mlp(int(c * self.mlp_ratio), c, name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
+        return x
+
+
+class RHAG(nn.Module):
+    """Residual Hybrid Attention Group: depth × HAB + OCAB + 3×3 conv + skip."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window: int
+    compress: int
+    squeeze: int
+    conv_scale: float
+    overlap_ratio: float
+    mlp_ratio: float
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        for i in range(self.depth):
+            x = HAB(self.dim, self.num_heads, self.window,
+                    0 if i % 2 == 0 else self.window // 2,
+                    self.compress, self.squeeze, self.conv_scale,
+                    self.mlp_ratio, name=f"blocks_{i}")(x)
+        x = OCAB(self.dim, self.window, self.overlap_ratio, self.num_heads,
+                 self.mlp_ratio, name="overlap_attn")(x)
+        x = nn.Conv(self.dim, (3, 3), name="conv")(x)
+        return res + x
+
+
+class HAT(nn.Module):
+    """The full HAT ×4 SR model. `__call__(lr [B,H,W,3])` →
+    (sr [B,4H,4W,3], deep_features [B,H,W,embed_dim]).
+
+    H and W must be multiples of `window` (pad upstream, as the reference's
+    expert loader does with pad_to_window_size, expert_loader.py:63-91).
+    """
+
+    upscale: int = 4
+    embed_dim: int = 180
+    depths: Sequence[int] = (6,) * 12
+    num_heads: Sequence[int] = (6,) * 12
+    window: int = 16
+    compress: int = 3
+    squeeze: int = 30
+    conv_scale: float = 0.01
+    overlap_ratio: float = 0.5
+    mlp_ratio: float = 2.0
+    num_feat: int = 64
+    img_range: float = 1.0
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        mean = jnp.asarray(RGB_MEAN, dtype=x.dtype)
+        x = (x - mean) * self.img_range
+
+        x = nn.Conv(self.embed_dim, (3, 3), name="conv_first")(x)
+        feat = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+        for i, d in enumerate(self.depths):
+            feat = RHAG(self.embed_dim, d, self.num_heads[i], self.window,
+                        self.compress, self.squeeze, self.conv_scale,
+                        self.overlap_ratio, self.mlp_ratio,
+                        name=f"layers_{i}")(feat)
+        feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
+        deep = nn.Conv(self.embed_dim, (3, 3), name="conv_after_body")(feat)
+        x = deep + x
+
+        x = nn.Conv(self.num_feat, (3, 3), name="conv_before_upsample")(x)
+        x = jnp.where(x >= 0, x, 0.01 * x)  # LeakyReLU(0.01)
+        for s in range(int(math.log2(self.upscale))):
+            x = nn.Conv(4 * self.num_feat, (3, 3), name=f"upsample_{s}")(x)
+            x = pixel_shuffle(x, 2)
+        x = nn.Conv(3, (3, 3), name="conv_last")(x)
+
+        x = x / self.img_range + mean
+        return x, deep

@@ -59,6 +59,42 @@ def relative_coords_table(hs: int, ws: int) -> np.ndarray:
     return grid.reshape(2, -1).T.astype(np.float32)
 
 
+def extract_overlapping_windows(x: jnp.ndarray, win: int, overlap: int) -> jnp.ndarray:
+    """[B,H,W,C] → [B*nW, (win+overlap)², C] overlapping windows.
+
+    TPU-native replacement for the reference OCAB's `nn.Unfold(kernel=ows,
+    stride=win, pad=(ows-win)/2)` (hat_arch.py:377,408-410): zero-pad by
+    overlap/2 per side, then gather rows/cols with static index tables —
+    two gathers instead of an identity-kernel convolution.  Window ordering
+    is row-major and the per-window layout is [owh, oww, C], identical to the
+    reference's rearrange to '(owh oww) ch'.
+    """
+    b, h, w, c = x.shape
+    ows = win + overlap
+    p = overlap // 2
+    xp = jnp.pad(x, [(0, 0), (p, p), (p, p), (0, 0)])
+    nh, nw = h // win, w // win
+    ridx = (np.arange(nh)[:, None] * win + np.arange(ows)[None, :]).reshape(-1)
+    cidx = (np.arange(nw)[:, None] * win + np.arange(ows)[None, :]).reshape(-1)
+    xr = jnp.take(xp, jnp.asarray(ridx), axis=1).reshape(b, nh, ows, w + 2 * p, c)
+    xc = jnp.take(xr, jnp.asarray(cidx), axis=3).reshape(b, nh, ows, nw, ows, c)
+    xc = jnp.transpose(xc, (0, 1, 3, 2, 4, 5))  # [B, nh, nw, owh, oww, C]
+    return xc.reshape(b * nh * nw, ows * ows, c)
+
+
+@functools.lru_cache(maxsize=None)
+def oca_relative_position_index(ws: int, wse: int) -> np.ndarray:
+    """OCAB relative position index, [ws², wse²] int32: query coords in the
+    ws×ws window vs key coords in the wse×wse extended window."""
+    ori = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij")).reshape(2, -1)
+    ext = np.stack(np.meshgrid(np.arange(wse), np.arange(wse), indexing="ij")).reshape(2, -1)
+    rel = ext[:, None, :] - ori[:, :, None]  # [2, ws², wse²]
+    rel = rel.transpose(1, 2, 0)
+    rel += ws - wse + 1
+    rel[:, :, 0] *= ws + wse - 1
+    return rel.sum(-1).astype(np.int32)
+
+
 @functools.lru_cache(maxsize=None)
 def shift_attn_mask(h: int, w: int, hs: int, ws: int, sh: int, sw: int) -> np.ndarray:
     """Shifted-window attention mask, [nW, hs*ws, hs*ws] float32 {0,-100}.

@@ -95,12 +95,14 @@ def _split_idx(name: str):
 _LEAF = {"kernel": "weight", "bias": "bias", "weight": "weight",
          "scale": "weight", "beta": "beta", "gamma": "gamma",
          "running_mean": "running_mean", "running_var": "running_var",
-         "temperature": "temperature"}
+         "temperature": "temperature",
+         "relative_position_bias_table": "relative_position_bias_table"}
 
 #: torch buffer keys that have no parameter equivalent in the new framework
 #: (precomputed tables we rebuild in numpy, BN bookkeeping counters).
 EXPECTED_UNUSED = ("num_batches_tracked", "rpe_biases", "relative_position_index",
-                   "attn_mask", "relative_position_bias_table", "rpi_", "mean")
+                   "attn_mask", "relative_position_index_SA",
+                   "relative_position_index_OCA")
 
 
 def filter_unused(keys):
@@ -174,6 +176,47 @@ def dat_key_fn(path: Tuple[str, ...]) -> str:
                 "channel_interaction", "spatial_interaction"):
             table = _DAT_CI if parts[i - 1] == "channel_interaction" else _DAT_SI
             toks.append(table[p])
+        elif idx is not None:
+            toks.extend([base, str(idx)])
+        else:
+            toks.append(p)
+    return ".".join(toks + [_LEAF[parts[-1]]])
+
+
+# Renames of our HAT module paths back to the reference layout
+# (Sequential indices for CAB / ChannelAttention / upsample head).
+_HAT_SEQ = {
+    "patch_norm": "patch_embed.norm",
+    "conv_before_upsample": "conv_before_upsample.0",
+    "conv_block": "conv_block.cab",
+    "conv1": "0",      # inside CAB Sequential(conv,GELU,conv,CA)
+    "conv2": "2",
+    "ca": "3.attention",  # ChannelAttention.attention Sequential(GAP,c,ReLU,c,σ)
+}
+_HAT_CA = {"fc1": "1", "fc2": "3"}
+
+
+def hat_key_fn(path: Tuple[str, ...]) -> str:
+    """Flax path → torch key for the HAT state dict.
+
+    ('layers_0','blocks_1','conv_block','ca','fc1','kernel')
+      → 'layers.0.residual_group.blocks.1.conv_block.cab.3.attention.1.weight'
+    """
+    parts = [p for p in path if p != "params"]
+    toks = []
+    for i, p in enumerate(parts[:-1]):
+        base, idx = _split_idx(p)
+        nxt = parts[i + 1] if i + 1 < len(parts) - 1 else ""
+        if base == "layers":
+            toks.extend(["layers", str(idx)])
+            if nxt.startswith("blocks") or nxt == "overlap_attn":
+                toks.append("residual_group")
+        elif base == "upsample":
+            toks.extend(["upsample", str(2 * idx)])
+        elif p in ("fc1", "fc2") and i and parts[i - 1] == "ca":
+            toks.append(_HAT_CA[p])
+        elif p in _HAT_SEQ:
+            toks.append(_HAT_SEQ[p])
         elif idx is not None:
             toks.extend([base, str(idx)])
         else:

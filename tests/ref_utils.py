@@ -18,9 +18,34 @@ requires_reference = pytest.mark.skipif(
     reason="reference repo or torch not available")
 
 
+def _mock_timm():
+    """The image lacks timm; the reference HAT only needs to_2tuple and
+    trunc_normal_ from it, so provide minimal equivalents."""
+    import types
+    if "timm.models.layers" in sys.modules:
+        return
+    import torch
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    for name in ("timm", "timm.models", "timm.models.layers", "timm.layers"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    for mod in (sys.modules["timm.models.layers"], sys.modules["timm.layers"]):
+        mod.to_2tuple = to_2tuple
+        mod.trunc_normal_ = trunc_normal_
+        mod.DropPath = torch.nn.Identity
+
+
 def ref_import(modname: str):
     if REFERENCE_DIR not in sys.path:
         sys.path.insert(0, REFERENCE_DIR)
+    _mock_timm()
     import importlib
     return importlib.import_module(modname)
 
