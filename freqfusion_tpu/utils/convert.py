@@ -196,6 +196,39 @@ _HAT_SEQ = {
 _HAT_CA = {"fc1": "1", "fc2": "3"}
 
 
+_FREQ_SEQ = {
+    "transform_fc1": "fusion_transform.0",
+    "transform_fc2": "fusion_transform.2",
+    "gate_fc1": "fusion_gate.0",
+    "gate_fc2": "fusion_gate.2",
+}
+
+
+def freq_key_fn(path: Tuple[str, ...]) -> str:
+    """Flax path → torch key for MultiDomainFrequencyDecomposition /
+    FrequencyDecomposition state dicts.
+
+    ('band_fusion','band_attention_0','conv','kernel')
+      → 'band_fusion.band_attention.0.conv.0.weight'
+    """
+    parts = [p for p in path if p != "params"]
+    toks = []
+    for i, p in enumerate(parts[:-1]):
+        base, idx = _split_idx(p)
+        if base == "band_attention":
+            toks.extend(["band_attention", str(idx), "conv", "0"])
+        elif p in _FREQ_SEQ:
+            toks.append(_FREQ_SEQ[p])
+        elif p == "conv" and toks and toks[-1] == "0":
+            continue  # already emitted by band_attention
+        elif idx is not None:
+            toks.extend([base, str(idx)])
+        else:
+            toks.append(p)
+    leaf = parts[-1]
+    return ".".join(toks + [_LEAF.get(leaf, leaf)])
+
+
 def hat_key_fn(path: Tuple[str, ...]) -> str:
     """Flax path → torch key for the HAT state dict.
 

@@ -8,7 +8,8 @@ with jax CPU multi-device simulation). Must run before jax is imported.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: the env pre-sets the
+# TPU platform ("axon"), but tests must run on the 8-device virtual CPU mesh
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,6 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+# The TPU harness's sitecustomize force-registers the "axon" TPU platform
+# regardless of JAX_PLATFORMS; override it back to CPU at the config level.
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against float64-free torch; keep matmuls exact.
 jax.config.update("jax_default_matmul_precision", "highest")
