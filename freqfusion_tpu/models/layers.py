@@ -1,0 +1,114 @@
+"""Shared small layers for the trainable fusion head (NHWC flax).
+
+Includes a torch-compatible packed-QKV multi-head attention
+(`TorchMHA`, converts from `nn.MultiheadAttention`'s
+in_proj_weight/out_proj layout) and a trainable `BatchNorm2d` that carries
+running statistics in the `batch_stats` collection (used by fusion-head
+modules that the reference trains; the frozen experts use the eval-only
+affine in models/dat.py instead).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class BatchNorm2d(nn.Module):
+    """BatchNorm over (B,H,W) of NHWC with running stats (torch semantics:
+    eps 1e-5, momentum 0.1 → flax momentum 0.9)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=self.eps,
+            name="bn")(x)
+
+
+class TorchMHA(nn.Module):
+    """nn.MultiheadAttention equivalent (batch_first, packed in_proj).
+
+    Input [..., N, E]; self-attention over the N axis. Dropout on attention
+    probabilities like torch (rate applied only when train=True).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        e, h = self.embed_dim, self.num_heads
+        hd = e // h
+        in_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
+                          (e, 3 * e))
+        in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
+        qkv = x @ in_w + in_b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return jnp.moveaxis(t.reshape(*t.shape[:-1], h, hd), -2, -3)
+
+        q, k, v = heads(q), heads(k), heads(v)  # [..., h, N, hd]
+        attn = jnp.einsum("...nd,...md->...nm", q * (hd ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("...nm,...md->...nd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = jnp.moveaxis(out, -3, -2).reshape(*x.shape[:-1], e)
+        return nn.Dense(e, name="out_proj")(out)
+
+
+class SEChannelAttention(nn.Module):
+    """SE-style channel attention with avg+max pooling (fusion_network.py:47-93)."""
+
+    features: int
+    reduction: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = max(self.features // self.reduction, 8)
+        fc1 = nn.Conv(hidden, (1, 1), use_bias=False, name="fc1")
+        fc2 = nn.Conv(self.features, (1, 1), use_bias=False, name="fc2")
+
+        def mlp(t):
+            return fc2(jax.nn.relu(fc1(t)))
+
+        avg = mlp(jnp.mean(x, axis=(1, 2), keepdims=True))
+        mx = mlp(jnp.max(x, axis=(1, 2), keepdims=True))
+        return x * jax.nn.sigmoid(avg + mx)
+
+
+class CBAMSpatialAttention(nn.Module):
+    """CBAM spatial attention: [avg‖max over C] → k×k conv → sigmoid gate."""
+
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        att = nn.Conv(1, (self.kernel_size, self.kernel_size), use_bias=False,
+                      name="conv")(jnp.concatenate([avg, mx], axis=-1))
+        return x * jax.nn.sigmoid(att)
+
+
+class ChannelSpatialAttention(nn.Module):
+    features: int
+    reduction: int = 4
+    kernel_size: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        x = SEChannelAttention(self.features, self.reduction,
+                               name="channel_attention")(x)
+        return CBAMSpatialAttention(self.kernel_size, name="spatial_attention")(x)

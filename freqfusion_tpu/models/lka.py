@@ -1,0 +1,149 @@
+"""Large Kernel Attention stack, TPU-native.
+
+Re-design of /root/reference/src/models/large_kernel_attention.py: the 21×21
+receptive field decomposed as 5×5 DW → 1×21 DW → 21×1 DW → 1×1 PW → BN →
+sigmoid gate, the LKABlock residual wrapper, and the two drop-in fusion
+modules (cross-band and collaborative attention with LKA refinement).
+
+The decomposed conv chain is the framework's prime Pallas-fusion candidate
+(see ops/pallas/lka.py); this module is the XLA reference implementation and
+the training path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize
+from .layers import BatchNorm2d, TorchMHA, gelu
+
+
+class LargeKernelAttention(nn.Module):
+    """Decomposed large-kernel spatial gate (all depthwise but the 1×1)."""
+
+    dim: int
+    kernel_size: int = 21
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d, k = self.dim, self.kernel_size
+        attn = nn.Conv(d, (5, 5), feature_group_count=d, use_bias=False,
+                       name="local_conv")(x)
+        attn = nn.Conv(d, (1, k), feature_group_count=d, use_bias=False,
+                       name="h_conv")(attn)
+        attn = nn.Conv(d, (k, 1), feature_group_count=d, use_bias=False,
+                       name="v_conv")(attn)
+        attn = nn.Conv(d, (1, 1), use_bias=False, name="pw_conv")(attn)
+        attn = BatchNorm2d(d, name="bn")(attn, train)
+        return x * jax.nn.sigmoid(attn)
+
+
+class LKABlock(nn.Module):
+    """BN → LKA → +0.1·residual, BN → FFN(2×) → +0.1·residual."""
+
+    dim: int
+    kernel_size: int = 21
+    ffn_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s1 = self.param("scale1", lambda k, s: jnp.asarray(0.1), ())
+        s2 = self.param("scale2", lambda k, s: jnp.asarray(0.1), ())
+        h = BatchNorm2d(self.dim, name="norm1")(x, train)
+        x = x + s1 * LargeKernelAttention(self.dim, self.kernel_size,
+                                          name="lka")(h, train)
+        h = BatchNorm2d(self.dim, name="norm2")(x, train)
+        ffn_dim = int(self.dim * self.ffn_ratio)
+        h = nn.Conv(ffn_dim, (1, 1), name="ffn_fc1")(h)
+        h = nn.Conv(self.dim, (1, 1), name="ffn_fc2")(gelu(h))
+        return x + s2 * h
+
+
+class EnhancedCrossBandWithLKA(nn.Module):
+    """Cross-band per-pixel MHA + shared LKA refinement per band.
+
+    forward(list of [B,H,W,3] × num_bands) → same shapes. The per-pixel MHA
+    treats bands as tokens: [B,H,W,bands,dim].
+    """
+
+    dim: int = 64
+    num_bands: int = 9
+    num_heads: int = 4
+    lka_kernel: int = 21
+
+    @nn.compact
+    def __call__(self, bands: Sequence[jnp.ndarray], train: bool = False):
+        band_proj = nn.Conv(self.dim, (1, 1), name="band_proj")
+        projected = jnp.stack([band_proj(b) for b in bands], axis=-2)
+        # [B,H,W,bands,dim]
+        normed = nn.LayerNorm(epsilon=1e-5, name="norm")(projected)
+        attn = TorchMHA(self.dim, self.num_heads, name="band_attention")(
+            normed, train)
+        attn = attn + projected
+
+        lka_block = LKABlock(self.dim, self.lka_kernel, name="lka_block")
+        out_proj = nn.Conv(3, (1, 1), name="out_proj")
+        outs = []
+        for i, band in enumerate(bands):
+            feat = lka_block(attn[..., i, :], train)
+            outs.append(out_proj(feat) + band)
+        return outs
+
+
+class EnhancedCollaborativeWithLKA(nn.Module):
+    """Cross-expert per-pixel MHA + FFN + shared LKA + per-expert global
+    modulation of the SR outputs: out · (1 + 0.2·(σ−0.5)), clamped."""
+
+    num_experts: int = 3
+    feature_dim: int = 128
+    num_heads: int = 8
+    lka_kernel: int = 21
+    expert_channels: Dict[str, int] = None  # type: ignore[assignment]
+
+    @nn.compact
+    def __call__(self, expert_features: Dict[str, jnp.ndarray],
+                 expert_outputs: List[jnp.ndarray], train: bool = False):
+        names = ["hat", "dat", "nafnet"][: self.num_experts]
+        chans = self.expert_channels or {"hat": 180, "dat": 180, "nafnet": 64}
+
+        aligned = []
+        min_h = min(expert_features[n].shape[1] for n in names)
+        min_w = min(expert_features[n].shape[2] for n in names)
+        for n in names:
+            feat = expert_features[n]
+            expected = chans[n]
+            actual = feat.shape[-1]
+            if actual > expected:  # truncate / zero-pad channel mismatch
+                feat = feat[..., :expected]
+            elif actual < expected:
+                feat = jnp.pad(feat, [(0, 0)] * 3 + [(0, expected - actual)])
+            a = nn.Conv(self.feature_dim, (1, 1), name=f"align_{n}")(feat)
+            if a.shape[1] != min_h or a.shape[2] != min_w:
+                a = resize(a, min_h, min_w, "bilinear")
+            aligned.append(a)
+
+        stacked = jnp.stack(aligned, axis=-2)  # [B,H,W,E,C]
+        normed = nn.LayerNorm(epsilon=1e-5, name="norm1")(stacked)
+        attn = TorchMHA(self.feature_dim, self.num_heads, name="cross_attn")(
+            normed, train)
+        stacked = stacked + attn
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(stacked)
+        h = nn.Dense(self.feature_dim * 2, name="ffn_fc1")(h)
+        h = nn.Dense(self.feature_dim, name="ffn_fc2")(gelu(h))
+        stacked = stacked + h
+
+        lka = LKABlock(self.feature_dim, self.lka_kernel, name="lka_global")
+        h_sr, w_sr = expert_outputs[0].shape[1], expert_outputs[0].shape[2]
+        outs = []
+        for i, out in enumerate(expert_outputs):
+            feat = lka(stacked[..., i, :], train)
+            feat_hr = resize(feat, h_sr, w_sr, "bilinear")
+            m = nn.Conv(self.feature_dim // 4, (1, 1), name=f"mod_{i}_fc1")(feat_hr)
+            m = jnp.mean(gelu(m), axis=(1, 2), keepdims=True)
+            m = jax.nn.sigmoid(nn.Conv(3, (1, 1), name=f"mod_{i}_fc2")(m))
+            outs.append(jnp.clip(out * (1.0 + 0.2 * (m - 0.5)), 0.0, 1.0))
+        return outs

@@ -100,9 +100,17 @@ _LEAF = {"kernel": "weight", "bias": "bias", "weight": "weight",
 
 #: torch buffer keys that have no parameter equivalent in the new framework
 #: (precomputed tables we rebuild in numpy, BN bookkeeping counters).
-EXPECTED_UNUSED = ("num_batches_tracked", "rpe_biases", "relative_position_index",
-                   "attn_mask", "relative_position_index_SA",
-                   "relative_position_index_OCA")
+EXPECTED_UNUSED = (
+    "num_batches_tracked", "rpe_biases", "relative_position_index",
+    "attn_mask", "relative_position_index_SA", "relative_position_index_OCA",
+    # frequency-stack buffers rebuilt in numpy
+    "dct_basis", "low_mask", "mid_mask", "high_mask",
+    "lo_row", "hi_row", "lo_col", "hi_col", "gaussian.kernel",
+    # fusion-head params the shipped forward path never uses
+    # (constructed-but-unused in the reference: enhanced_fusion.py:258-261 +
+    # the FrequencyRouter, used only in the non-hierarchical branch)
+    "expert_weights", "band_importance", "freq_router.",
+)
 
 
 def filter_unused(keys):
@@ -227,6 +235,103 @@ def freq_key_fn(path: Tuple[str, ...]) -> str:
             toks.append(p)
     leaf = parts[-1]
     return ".".join(toks + [_LEAF.get(leaf, leaf)])
+
+
+# Fusion-head (CompleteEnhancedFusionSR) sequential-index renames.
+_FUSION_SEQ = {
+    # LKA blocks
+    "ffn_fc1": "ffn.0", "ffn_fc2": "ffn.2",
+    # hierarchical stages (relative, resolved with stage prefix below)
+    "to_rgb_conv1": "to_rgb.0", "to_rgb_conv2": "to_rgb.2",
+    # dynamic selector
+    "diff_conv1": "difficulty_estimator.0", "diff_conv2": "difficulty_estimator.2",
+    "diff_conv3": "difficulty_estimator.4",
+    # edge refinement
+    "fusion_conv1": "fusion.0", "fusion_conv2": "fusion.2",
+    # adaptive band predictor
+    "predictor_fc1": "predictor.0", "predictor_fc2": "predictor.2",
+}
+
+
+def fusion_key_fn(path: Tuple[str, ...]) -> str:
+    """Flax path → torch key for the fusion-head checkpoint
+    (CompleteEnhancedFusionSR with the shipped io.py MODEL_CONFIG)."""
+    parts = [p for p in path if p not in ("params", "batch_stats")]
+    leaf = parts[-1]
+    # our BatchNorm2d wrapper nests an nn.BatchNorm named 'bn' — collapse it
+    if len(parts) >= 2 and parts[-2] == "bn" and leaf in (
+            "scale", "bias", "mean", "var"):
+        parts = parts[:-2] + [parts[-1]]
+
+    body = parts[:-1]
+    toks = []
+    for i, p in enumerate(body):
+        base, idx = _split_idx(p)
+        prev = body[i - 1] if i else ""
+        if p in _FREQ_SEQ:                       # band-fusion convs
+            toks.append(_FREQ_SEQ[p])
+        elif base == "band_attention" and idx is not None:
+            toks.extend(["band_attention", str(idx), "conv", "0"])
+        elif p == "conv" and prev.startswith("band_attention_"):
+            continue  # already emitted above
+        elif p.startswith("align_"):
+            toks.extend(["align_layers", p[len("align_"):]])
+        elif p.endswith("_fc1") and p.startswith("mod_"):
+            toks.extend(["modulation", p.split("_")[1], "0"])
+        elif p.endswith("_fc2") and p.startswith("mod_"):
+            toks.extend(["modulation", p.split("_")[1], "3"])
+        elif base == "mod" and idx is not None:  # standard collaborative
+            toks.extend(["modulation", str(idx), "1"])
+        elif prev in ("stage1", "stage2", "stage3"):
+            st = toks.pop()  # replace 'stageN' + child with flat torch names
+            sub = {"conv1": f"{st}_conv.0", "conv2": f"{st}_conv.2"}.get(p)
+            if sub is None:
+                sub = {"gate": f"{st}_gate", "res": f"{st}_res"}[p]
+            toks.append(sub)
+        elif prev == "gate" and p in ("fc1", "fc2"):
+            toks.append({"fc1": "gate.0", "fc2": "gate.2"}[p])
+        elif prev == "res" and p in ("conv1", "conv2"):
+            toks.append({"conv1": "block.0", "conv2": "block.2"}[p])
+        elif p.endswith("_conv") and prev == "multiscale":
+            toks.append(p[:-5] + ".0")
+        elif p.endswith("_bn") and prev == "multiscale":
+            toks.append(p[:-3] + ".2")
+        elif p == "channel_attention" and i + 1 < len(body):
+            toks.append("channel_attention")
+        elif p in ("fc1", "fc2") and prev == "channel_attention":
+            toks.append({"fc1": "mlp.0", "fc2": "mlp.2"}[p])
+        elif p in ("fc1", "fc2") and prev == "attn":
+            toks.append({"fc1": "attn.0", "fc2": "attn.2"}[p])
+        elif p in ("fc1", "fc2") and prev == "adaptive_band_predictor":
+            toks.append({"fc1": "predictor.0", "fc2": "predictor.2"}[p])
+        elif p in ("gate_conv1", "gate_conv2"):
+            scope = "edge_gate" if "edge_refine" in body else "expert_gate"
+            toks.append({"gate_conv1": f"{scope}.0",
+                         "gate_conv2": f"{scope}.2"}[p])
+        elif p in _FUSION_SEQ:
+            toks.append(_FUSION_SEQ[p])
+        elif base == "refine" and idx is not None and prev == "refine_net":
+            toks.pop()  # torch refine_net is a flat Sequential at the top
+            toks.extend(["refine_net", str(2 * idx)])
+        elif p.startswith("layer") and (p.endswith("_conv") or p.endswith("_bn")):
+            lnum = p.split("_")[0]  # router layers: layer1..layer4
+            block = "conv_block1" if lnum in ("layer1", "layer2") else "conv_block2"
+            local = 0 if lnum in ("layer1", "layer3") else 3
+            local += 2 if p.endswith("_bn") else 0
+            toks.extend([block, str(local)])
+        elif idx is not None:
+            toks.extend([base, str(idx)])
+        else:
+            toks.append(p)
+
+    if toks and toks[0] == "refine_net" and leaf == "residual_scale":
+        toks = []  # top-level torch param
+    lf = {"scale": "weight", "mean": "running_mean", "var": "running_var"}
+    if leaf == "scale" and body and not ("norm" in body[-1] or "bn" in body[-1]):
+        out_leaf = "scale"  # ResBlock's learnable residual scale
+    else:
+        out_leaf = lf.get(leaf, _LEAF.get(leaf, leaf))
+    return ".".join(toks + [out_leaf])
 
 
 def hat_key_fn(path: Tuple[str, ...]) -> str:
