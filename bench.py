@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Headline benchmark: ×4 SR throughput of the full FreqFusion pipeline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Protocol: a DIV2K-sized LR image (510×339, the ×4 LR of a 2040×1356 HR)
+streams through the production tiled pipeline (tile 128, overlap 32) on one
+chip, with randomly initialized weights (identical FLOPs to trained ones).
+Metric = OUTPUT megapixels/second/chip (HR pixels produced per second),
+steady-state (compile + warmup excluded).
+
+vs_baseline: the reference publishes no throughput figure (BASELINE.md), so
+the baseline is an analytic A100 estimate for the same 3-expert ensemble:
+~90 MMAC/LR-pixel ⇒ ~0.33 LR MP/s ≈ 5.3 HR MP/s on A100 TF32 at 60 TFLOP/s
+sustained. BASELINE.json's target is ≥5× A100 on v5e-8 (8 chips), so
+vs_baseline = (8 × per-chip MP/s) / (5 × 5.3 HR MP/s); ≥1.0 meets target.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_EST_HR_MPS = 5.3   # analytic estimate, see module docstring
+TARGET_MULT = 5.0
+N_CHIPS_TARGET = 8
+
+TILE = 128
+OVERLAP = 32
+TILE_BATCH = 4
+LR_H, LR_W = 339, 510   # DIV2K ×4 LR size for a 2040×1356 HR image
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from freqfusion_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
+    from freqfusion_tpu.models.experts import FreqFusionSR
+    from freqfusion_tpu.models.fusion import FusionConfig
+    from freqfusion_tpu.infer.tiling import tiled_sr, num_tiles
+
+    model = FreqFusionSR(FusionConfig())
+    dummy = jnp.zeros((TILE_BATCH, TILE, TILE, 3), jnp.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(jax.random.PRNGKey(0), dummy)
+    variables = jax.device_put(variables, jax.devices()[0])
+
+    fwd = jax.jit(lambda v, t: model.apply(v, t))
+
+    def forward_batch(tiles):
+        return np.asarray(fwd(variables, jnp.asarray(tiles)))
+
+    rng = np.random.default_rng(0)
+    lr = rng.uniform(size=(LR_H, LR_W, 3)).astype(np.float32)
+
+    # compile + warmup
+    _ = forward_batch(np.zeros((TILE_BATCH, TILE, TILE, 3), np.float32))
+    t0 = time.time()
+    _ = tiled_sr(lr, forward_batch, TILE, OVERLAP, TILE_BATCH)
+    warm_s = time.time() - t0
+
+    # timed runs
+    runs = 3
+    t0 = time.time()
+    for _ in range(runs):
+        sr = tiled_sr(lr, forward_batch, TILE, OVERLAP, TILE_BATCH)
+    elapsed = (time.time() - t0) / runs
+
+    out_mp = (LR_H * 4) * (LR_W * 4) / 1e6
+    mps = out_mp / elapsed
+    vs = (mps * N_CHIPS_TARGET) / (TARGET_MULT * A100_EST_HR_MPS)
+
+    print(json.dumps({
+        "metric": "x4_sr_output_megapixels_per_sec_per_chip",
+        "value": round(mps, 4),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(vs, 4),
+    }))
+    print(f"# image {LR_W}x{LR_H} LR → {LR_W*4}x{LR_H*4} HR: "
+          f"{elapsed:.2f}s/image ({num_tiles(LR_H, LR_W, TILE, OVERLAP)} tiles, "
+          f"first pass {warm_s:.1f}s incl. compile)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

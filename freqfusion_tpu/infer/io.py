@@ -1,0 +1,155 @@
+"""Challenge interface: the public `model_func` contract.
+
+Mirrors the reference wrapper (/root/reference/models/team29_FreqFusion/io.py):
+`main(model_dir, input_path, output_path, device)` builds the ensemble +
+fusion head, loads checkpoints tolerantly, loops over PNGs and writes ×4 SR
+PNGs. TPU-first differences: tiled inference is the primary (and only)
+device path — one compiled program at a fixed tile shape — and checkpoints
+are converted from the reference's torch format on first use.
+
+Checkpoint layout searched under `model_dir` (reference io.py:127-160):
+  pretrained/hat/*.pth       HAT-L weights
+  pretrained/dat/*.pth       DAT weights
+  pretrained/nafnet/*.pth    NAFNet-SIDD-width64 weights
+  *.pth / checkpoints/**.pth fusion-head checkpoint (best_epoch*.pth)
+Missing files fall back to random init with a warning, like the reference
+(expert_loader.py:367-368).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.experts import FreqFusionSR
+from ..models.fusion import FusionConfig
+from ..utils import convert as cv
+from ..utils.runtime import enable_compilation_cache
+from ..utils.imageio import list_images, load_image, save_image
+from .tiling import tiled_sr
+
+# the hardcoded inference config (reference io.py:40-58)
+MODEL_CONFIG = FusionConfig()
+
+TILE = 128
+OVERLAP = 32
+TILE_BATCH = 1
+
+
+def _find(model_dir: str, patterns) -> Optional[str]:
+    for pat in patterns:
+        hits = sorted(glob.glob(os.path.join(model_dir, pat), recursive=True))
+        if hits:
+            return hits[0]
+    return None
+
+
+def _load_expert_params(variables, model_dir: str):
+    """Fill expert params from reference-format torch checkpoints in place."""
+    params = variables["params"]
+    specs = {
+        "hat": (["pretrained/hat/*.pth", "pretrained/hat/**/*.pth"], cv.hat_key_fn, None),
+        "dat": (["pretrained/dat/*.pth", "pretrained/dat/**/*.pth"], cv.dat_key_fn, None),
+        "nafnet": (["pretrained/nafnet/*.pth", "pretrained/nafnet/**/*.pth"],
+                   cv.nafnet_key_fn, "nafnet."),
+    }
+    for name, (patterns, key_fn, strip) in specs.items():
+        path = _find(model_dir, patterns)
+        if path is None:
+            warnings.warn(f"{name} checkpoint not found under {model_dir}; "
+                          "using random weights")
+            continue
+        sd = cv.load_torch_checkpoint(path)
+        if strip:
+            sd = {k[len(strip):]: v for k, v in sd.items() if k.startswith(strip)}
+        sub = params["experts"][name]
+        filled, report = cv.fill_params(sub, sd, key_fn, strict=False)
+        params["experts"][name] = filled
+        if report["missing"]:
+            warnings.warn(f"{name}: {len(report['missing'])} params not in "
+                          f"checkpoint (first: {report['missing'][0][1]})")
+    return variables
+
+
+def _load_fusion_params(variables, model_dir: str):
+    path = _find(model_dir, ["*.pth", "checkpoints/**/*.pth", "checkpoints/*.pth"])
+    # skip expert checkpoints that the glob may also match
+    if path and "pretrained" in path:
+        path = None
+    if path is None:
+        warnings.warn(f"fusion checkpoint not found under {model_dir}; "
+                      "using random weights")
+        return variables
+    sd = cv.load_torch_checkpoint(path)
+    filled_p, _ = cv.fill_params(variables["params"]["fusion"], sd,
+                                 cv.fusion_key_fn, strict=False)
+    variables["params"]["fusion"] = filled_p
+    if "batch_stats" in variables and "fusion" in variables["batch_stats"]:
+        filled_s, _ = cv.fill_params(variables["batch_stats"]["fusion"], sd,
+                                     cv.fusion_key_fn, strict=False)
+        variables["batch_stats"]["fusion"] = filled_s
+    return variables
+
+
+class InferencePipeline:
+    """Builds the model once, compiles the tile forward once, runs PNGs."""
+
+    def __init__(self, model_dir: str, tile: int = TILE, overlap: int = OVERLAP,
+                 tile_batch: int = TILE_BATCH, precision: str = "highest",
+                 seed: int = 0):
+        enable_compilation_cache()
+        self.tile, self.overlap, self.tile_batch = tile, overlap, tile_batch
+        self.model = FreqFusionSR(MODEL_CONFIG)
+        dummy = jnp.zeros((tile_batch, tile, tile, 3), jnp.float32)
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        variables = jax.tree_util.tree_map(np.asarray, variables)
+        variables = {k: dict(v) for k, v in variables.items()}
+        variables["params"] = dict(variables["params"])
+        if model_dir:
+            variables = _load_expert_params(variables, model_dir)
+            variables = _load_fusion_params(variables, model_dir)
+        self.variables = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, variables))
+
+        def fwd(variables, tiles):
+            with jax.default_matmul_precision(
+                    "highest" if precision == "highest" else "bfloat16"):
+                return self.model.apply(variables, tiles)
+
+        self._fwd = jax.jit(fwd)
+
+    def forward_batch(self, tiles: np.ndarray) -> np.ndarray:
+        return np.asarray(self._fwd(self.variables, jnp.asarray(tiles)))
+
+    def run_image(self, lr: np.ndarray) -> np.ndarray:
+        return tiled_sr(lr, self.forward_batch, self.tile, self.overlap,
+                        self.tile_batch, MODEL_CONFIG.upscale)
+
+
+def main(model_dir: str, input_path: str, output_path: str, device=None):
+    """The challenge `model_func(model_dir, input_path, output_path, device)`
+    contract (reference io.py:189-234). `device` is accepted for signature
+    parity; placement is governed by JAX."""
+    os.makedirs(output_path, exist_ok=True)
+    pipe = InferencePipeline(model_dir)
+    files = list_images(input_path)
+    for f in files:
+        t0 = time.time()
+        lr = load_image(f)
+        sr = pipe.run_image(lr)
+        out = os.path.join(output_path, os.path.basename(f))
+        save_image(sr, out)
+        print(f"  {os.path.basename(f)}: {lr.shape[1]}x{lr.shape[0]} → "
+              f"{sr.shape[1]}x{sr.shape[0]} in {time.time() - t0:.2f}s")
+    return len(files)
+
+
+model_func = main

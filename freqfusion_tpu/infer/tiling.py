@@ -1,0 +1,93 @@
+"""Tiled full-resolution inference, TPU-first.
+
+The reference runs full-image forward and falls back to overlapping tiles on
+OOM (io.py:214-231). On TPU, per-image shapes would trigger a recompile per
+image, so tiling is the PRIMARY path here (SURVEY.md §5 "TPU plan"): every
+image streams through ONE compiled program at a fixed (tile, overlap, batch)
+shape.
+
+Stitching reproduces the reference's linear seam ramp (io.py:82-121): each
+tile is weighted by a ramp that falls from 1 to ~0 across the `overlap`
+border (only on sides that have a neighbour), accumulated, and normalized.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import numpy as np
+
+
+def _ramp_profile(size: int, overlap: int, has_lo: bool, has_hi: bool) -> np.ndarray:
+    w = np.ones(size, dtype=np.float32)
+    if overlap > 0:
+        ramp = (np.arange(1, overlap + 1, dtype=np.float32)) / (overlap + 1)
+        if has_lo:
+            w[:overlap] = ramp
+        if has_hi:
+            w[-overlap:] = ramp[::-1]
+    return w
+
+
+def tile_grid(size: int, tile: int, stride: int):
+    """Start offsets covering [0, size) with a final clamped tile."""
+    if size <= tile:
+        return [0]
+    starts = list(range(0, size - tile + 1, stride))
+    if starts[-1] + tile < size:
+        starts.append(size - tile)
+    return starts
+
+
+def tiled_sr(
+    lr: np.ndarray,
+    forward_batch: Callable[[np.ndarray], np.ndarray],
+    tile: int = 128,
+    overlap: int = 32,
+    batch: int = 1,
+    scale: int = 4,
+) -> np.ndarray:
+    """×`scale` SR of an HWC image of any size via fixed-shape tiles.
+
+    `forward_batch`: jitted fn [batch, tile, tile, 3] → [batch, s·tile, s·tile, 3].
+    Small images are reflect-padded up to one tile (static shape preserved).
+    """
+    h, w, _ = lr.shape
+    ph, pw = max(tile - h, 0), max(tile - w, 0)
+    if ph or pw:
+        lr = np.pad(lr, [(0, ph), (0, pw), (0, 0)], mode="reflect")
+    hp, wp, _ = lr.shape
+
+    stride = tile - overlap
+    ys = tile_grid(hp, tile, stride)
+    xs = tile_grid(wp, tile, stride)
+    coords = [(y, x) for y in ys for x in xs]
+
+    out = np.zeros((hp * scale, wp * scale, 3), dtype=np.float32)
+    acc = np.zeros((hp * scale, wp * scale, 1), dtype=np.float32)
+    ov_hr = overlap * scale
+    t_hr = tile * scale
+
+    for i in range(0, len(coords), batch):
+        chunk = coords[i:i + batch]
+        tiles = np.stack([lr[y:y + tile, x:x + tile] for (y, x) in chunk])
+        if len(chunk) < batch:  # pad the last chunk to the static batch shape
+            tiles = np.concatenate(
+                [tiles, np.repeat(tiles[-1:], batch - len(chunk), axis=0)])
+        sr_tiles = np.asarray(forward_batch(tiles))
+        for j, (y, x) in enumerate(chunk):
+            wy = _ramp_profile(t_hr, ov_hr, y > 0, y + tile < hp)
+            wx = _ramp_profile(t_hr, ov_hr, x > 0, x + tile < wp)
+            wmap = (wy[:, None] * wx[None, :])[:, :, None]
+            ys_hr, xs_hr = y * scale, x * scale
+            out[ys_hr:ys_hr + t_hr, xs_hr:xs_hr + t_hr] += sr_tiles[j] * wmap
+            acc[ys_hr:ys_hr + t_hr, xs_hr:xs_hr + t_hr] += wmap
+    out = out / np.maximum(acc, 1e-8)
+    return out[: h * scale, : w * scale]
+
+
+def num_tiles(h: int, w: int, tile: int = 128, overlap: int = 32) -> int:
+    stride = tile - overlap
+    return len(tile_grid(max(h, tile), tile, stride)) * len(
+        tile_grid(max(w, tile), tile, stride))

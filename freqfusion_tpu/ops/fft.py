@@ -40,6 +40,28 @@ def _half_weights(n: int) -> np.ndarray:
     return w
 
 
+def fft2(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ortho full complex FFT over the (H, W) axes of a real [B,H,W,C]
+    tensor → (re, im), each [B,H,W,C]. Used by the FFT training loss."""
+    b, h, w, c = x.shape
+    cw, sw = map(jnp.asarray, _dft_mats(w))
+    inv_sw = 1.0 / np.sqrt(w)
+    re1 = jnp.einsum("bhwc,wf->bhfc", x, cw) * inv_sw
+    im1 = -jnp.einsum("bhwc,wf->bhfc", x, sw) * inv_sw
+    ch, sh = map(jnp.asarray, _dft_mats(h))
+    inv_sh = 1.0 / np.sqrt(h)
+    re = (jnp.einsum("bhfc,hg->bgfc", re1, ch)
+          + jnp.einsum("bhfc,hg->bgfc", im1, sh)) * inv_sh
+    im = (jnp.einsum("bhfc,hg->bgfc", im1, ch)
+          - jnp.einsum("bhfc,hg->bgfc", re1, sh)) * inv_sh
+    return re, im
+
+
+def fftshift2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch.fft.fftshift over the (H, W) axes of [B,H,W,C]."""
+    return jnp.roll(x, (x.shape[1] // 2, x.shape[2] // 2), axis=(1, 2))
+
+
 def rfft2(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Ortho rFFT over the (H, W) axes of [B,H,W,C] → (re, im), each
     [B, H, W//2+1, C]."""

@@ -1,0 +1,44 @@
+"""Exponential moving average of params (reference EMAModel,
+checkpoint_manager.py:343-427): shadow pytree, update/apply/restore,
+serializable state."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ema_init(params):
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def ema_update(shadow, params, decay: float = 0.9995):
+    return jax.tree_util.tree_map(
+        lambda s, p: s * decay + p * (1.0 - decay), shadow, params)
+
+
+class EMA:
+    """Stateful convenience wrapper used by the training driver."""
+
+    def __init__(self, params, decay: float = 0.9995):
+        self.decay = decay
+        self.shadow = ema_init(params)
+        self._backup = None
+
+    def update(self, params):
+        self.shadow = ema_update(self.shadow, params, self.decay)
+
+    def apply(self, params):
+        """Swap shadow in for evaluation; returns EMA params."""
+        self._backup = params
+        return self.shadow
+
+    def restore(self):
+        params, self._backup = self._backup, None
+        return params
+
+    def state_dict(self):
+        return jax.device_get(self.shadow)
+
+    def load_state_dict(self, state):
+        self.shadow = jax.tree_util.tree_map(jnp.asarray, state)

@@ -1,0 +1,27 @@
+"""Runtime setup helpers (compilation cache, precision mode)."""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(cache_dir: str | None = None):
+    """Enable JAX's persistent compilation cache.
+
+    The full ensemble takes minutes to compile; caching makes every
+    subsequent process (bench, CLIs, the driver's compile checks) start in
+    seconds. Safe to call multiple times.
+    """
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "FREQFUSION_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax versions: ignore
+        pass

@@ -42,10 +42,30 @@ def _mock_timm():
         mod.DropPath = torch.nn.Identity
 
 
+def _mock_torchvision():
+    """The image lacks torchvision; the reference loss module imports it at
+    top level but only uses it for the (optional) VGG backbone."""
+    import types
+    if "torchvision" in sys.modules:
+        return
+
+    def _unavailable(*a, **k):
+        raise RuntimeError("torchvision mocked: no pretrained backbones here")
+
+    tv = types.ModuleType("torchvision")
+    mdl = types.ModuleType("torchvision.models")
+    mdl.vgg19 = _unavailable
+    mdl.VGG19_Weights = types.SimpleNamespace(IMAGENET1K_V1=None)
+    tv.models = mdl
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = mdl
+
+
 def ref_import(modname: str):
     if REFERENCE_DIR not in sys.path:
         sys.path.insert(0, REFERENCE_DIR)
     _mock_timm()
+    _mock_torchvision()
     import importlib
     return importlib.import_module(modname)
 

@@ -1,0 +1,84 @@
+"""Loss parity vs the torch reference + invariants."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from freqfusion_tpu import losses
+
+from ref_utils import requires_reference, ref_import, to_nchw
+
+
+def _pair(seed=0, shape=(2, 24, 24, 3)):
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(size=shape).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.05, size=shape), 0, 1).astype(np.float32)
+    return a, b
+
+
+def test_identical_images_zero():
+    a, _ = _pair()
+    x = jnp.asarray(a)
+    assert float(losses.l1_loss(x, x)) == 0.0
+    assert float(losses.ssim_loss(x, x)) < 1e-5
+    assert float(losses.fft_loss(x, x)) < 1e-5
+    assert float(losses.swt_loss(x, x)) < 1e-6
+    assert float(losses.edge_loss(x, x)) == 0.0
+
+
+def test_combined_loss_weight_driven():
+    a, b = _pair(1)
+    crit = losses.CombinedLoss({"l1": 1.0, "charbonnier": 0, "l2": 0, "vgg": 0,
+                                "swt": 0, "fft": 0, "edge": 0, "ssim": 0})
+    total, comps = crit(jnp.asarray(a), jnp.asarray(b))
+    assert set(comps) == {"l1", "total"}
+    np.testing.assert_allclose(float(total), float(comps["l1"]), rtol=1e-6)
+
+    crit.set_weights({"swt": 0.25, "fft": 0.1})
+    total2, comps2 = crit(jnp.asarray(a), jnp.asarray(b))
+    assert {"l1", "swt", "fft"} <= set(comps2)
+    assert float(total2) > float(total)
+
+
+def test_vgg_redirects_to_fft():
+    with pytest.warns(UserWarning):
+        crit = losses.CombinedLoss({"l1": 1.0, "vgg": 0.1, "fft": 0.05,
+                                    "charbonnier": 0, "l2": 0, "swt": 0,
+                                    "edge": 0, "ssim": 0})
+    assert crit.weights["vgg"] == 0.0
+    assert abs(crit.weights["fft"] - 0.15) < 1e-9
+
+
+@requires_reference
+def test_parity_simple_losses():
+    import torch
+    ref = ref_import("src.losses.perceptual_loss")
+    a, b = _pair(2)
+    ta, tb = to_nchw(a), to_nchw(b)
+    with torch.no_grad():
+        ref_l1 = ref.L1Loss()(ta, tb).item()
+        ref_char = ref.CharbonnierLoss()(ta, tb).item()
+        ref_ssim = ref.SSIMLoss()(ta, tb).item()
+        ref_edge = ref.EdgeLoss()(ta, tb).item()
+        ref_fft = ref.FFTLoss()(ta, tb).item()
+    assert abs(float(losses.l1_loss(jnp.asarray(a), jnp.asarray(b))) - ref_l1) < 1e-5
+    assert abs(float(losses.charbonnier_loss(jnp.asarray(a), jnp.asarray(b))) - ref_char) < 1e-5
+    assert abs(float(losses.ssim_loss(jnp.asarray(a), jnp.asarray(b))) - ref_ssim) < 1e-4
+    assert abs(float(losses.edge_loss(jnp.asarray(a), jnp.asarray(b))) - ref_edge) < 1e-4
+    # phase of near-zero spectral bins is ill-conditioned (flips by π under
+    # any fp difference between FFT algorithms); the 0.1-weighted phase term
+    # therefore only matches loosely
+    assert abs(float(losses.fft_loss(jnp.asarray(a), jnp.asarray(b))) - ref_fft) < 3e-3
+
+
+@requires_reference
+def test_parity_swt_loss():
+    torch = pytest.importorskip("torch")
+    ref = ref_import("src.losses.perceptual_loss")
+    if not getattr(ref, "PYWT_AVAILABLE", False):
+        pytest.skip("pywt not available for the reference implementation")
+    a, b = _pair(3, shape=(1, 32, 32, 3))
+    with torch.no_grad():
+        ref_swt = ref.SWTLoss(wavelet="db4", level=2)(to_nchw(a), to_nchw(b)).item()
+    ours = float(losses.swt_loss(jnp.asarray(a), jnp.asarray(b), "db4", 2))
+    assert abs(ours - ref_swt) < 1e-4, (ours, ref_swt)
