@@ -97,7 +97,7 @@ class CheckpointManager:
                         metrics: Dict[str, float], is_best: bool = False):
         """payload: {params, batch_stats, opt_state, ema_state, extra...}."""
         record = {"epoch": epoch, "metrics": dict(metrics), **payload}
-        record = jax.device_get(record)
+        record = serialization.to_state_dict(jax.device_get(record))
         blob = serialization.msgpack_serialize(
             jax.tree_util.tree_map(np.asarray, record))
 
@@ -120,9 +120,16 @@ class CheckpointManager:
         self.history.append({"epoch": epoch, "metrics": dict(metrics)})
         self._save_history()
 
-    def load(self, path: Optional[str] = None) -> Optional[Dict[str, Any]]:
+    def load(self, path: Optional[str] = None,
+             target: Optional[Dict[str, Any]] = None) -> Optional[Dict[str, Any]]:
+        """Load a checkpoint. With `target` (a matching pytree of the live
+        structures, e.g. a fresh TrainState payload), structured leaves like
+        optax states are rebuilt via from_state_dict."""
         path = path or self.latest_path()
         if not os.path.exists(path):
             return None
         with open(path, "rb") as f:
-            return serialization.msgpack_restore(f.read())
+            state = serialization.msgpack_restore(f.read())
+        if target is not None:
+            state = serialization.from_state_dict(target, state)
+        return state
