@@ -70,6 +70,7 @@ class FusionConfig:
     enable_adaptive_bands: bool = True
     enable_multi_resolution: bool = True
     enable_collaborative: bool = True
+    use_pallas: bool = False  # fused Pallas LKA kernel on the eval path
 
 
 class RefineNet(nn.Module):
@@ -114,7 +115,7 @@ class FusionHead(nn.Module):
                 self.cross_band_attn = EnhancedCrossBandWithLKA(
                     dim=cfg.fusion_dim,
                     num_bands=9 if cfg.enable_multi_domain_freq else cfg.num_bands,
-                    num_heads=cfg.num_heads)
+                    num_heads=cfg.num_heads, use_pallas=cfg.use_pallas)
             else:
                 self.cross_band_attn = CrossBandAttention(
                     dim=cfg.fusion_dim, num_heads=cfg.num_heads)
@@ -123,7 +124,7 @@ class FusionHead(nn.Module):
             if cfg.enable_lka:
                 self.collaborative = EnhancedCollaborativeWithLKA(
                     num_experts=cfg.num_experts, feature_dim=cfg.fusion_dim * 2,
-                    num_heads=cfg.num_heads * 2)
+                    num_heads=cfg.num_heads * 2, use_pallas=cfg.use_pallas)
             else:
                 self.collaborative = CollaborativeFeatureLearning(
                     num_experts=cfg.num_experts, feature_dim=cfg.fusion_dim * 2,

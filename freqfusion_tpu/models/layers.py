@@ -21,16 +21,47 @@ def gelu(x):
 
 class BatchNorm2d(nn.Module):
     """BatchNorm over (B,H,W) of NHWC with running stats (torch semantics:
-    eps 1e-5, momentum 0.1 → flax momentum 0.9)."""
+    eps 1e-5, momentum 0.1, unbiased running variance).
+
+    Params are explicit (scale/bias in `params`, mean/var in `batch_stats`)
+    so `affine()` can hand the folded eval-mode (scale, shift) pair to fused
+    Pallas kernels.
+    """
 
     features: int
     eps: float = 1e-5
+    momentum: float = 0.1
 
-    @nn.compact
+    def setup(self):
+        f = self.features
+        self.scale = self.param("scale", nn.initializers.ones, (f,))
+        self.offset = self.param("bias", nn.initializers.zeros, (f,))
+        self.mean = self.variable("batch_stats", "mean",
+                                  lambda: jnp.zeros(f, jnp.float32))
+        self.var = self.variable("batch_stats", "var",
+                                 lambda: jnp.ones(f, jnp.float32))
+
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=self.eps,
-            name="bn")(x)
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            bm = jnp.mean(x, axis=axes)
+            bv = jnp.var(x, axis=axes)
+            if not self.is_initializing():
+                n = x.size // x.shape[-1]
+                unbiased = bv * n / max(n - 1, 1)
+                m = self.momentum
+                self.mean.value = (1 - m) * self.mean.value + m * bm
+                self.var.value = (1 - m) * self.var.value + m * unbiased
+            mean, var = bm, bv
+        else:
+            mean, var = self.mean.value, self.var.value
+        inv = jax.lax.rsqrt(var + self.eps) * self.scale
+        return x * inv + (self.offset - mean * inv)
+
+    def affine(self):
+        """Folded eval-mode (scale, shift): y = x·scale + shift."""
+        inv = jax.lax.rsqrt(self.var.value + self.eps) * self.scale
+        return inv, self.offset - self.mean.value * inv
 
 
 class TorchMHA(nn.Module):

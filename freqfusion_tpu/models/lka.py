@@ -22,23 +22,57 @@ from ..ops.resize import resize
 from .layers import BatchNorm2d, TorchMHA, gelu
 
 
+class _Kern(nn.Module):
+    """A bare conv kernel param (HWIO) — shared by the XLA and Pallas paths."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.variance_scaling(
+            2.0, "fan_out", "truncated_normal"), self.shape)
+
+
 class LargeKernelAttention(nn.Module):
-    """Decomposed large-kernel spatial gate (all depthwise but the 1×1)."""
+    """Decomposed large-kernel spatial gate (all depthwise but the 1×1).
+
+    With `use_pallas=True` the eval path runs the fused VMEM-resident kernel
+    (ops/pallas/lka.py); training and non-TPU backends use the identical-math
+    XLA chain.
+    """
 
     dim: int
     kernel_size: int = 21
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d, k = self.dim, self.kernel_size
-        attn = nn.Conv(d, (5, 5), feature_group_count=d, use_bias=False,
-                       name="local_conv")(x)
-        attn = nn.Conv(d, (1, k), feature_group_count=d, use_bias=False,
-                       name="h_conv")(attn)
-        attn = nn.Conv(d, (k, 1), feature_group_count=d, use_bias=False,
-                       name="v_conv")(attn)
-        attn = nn.Conv(d, (1, 1), use_bias=False, name="pw_conv")(attn)
-        attn = BatchNorm2d(d, name="bn")(attn, train)
+        w5 = _Kern((5, 5, 1, d), name="local_conv")()
+        wh = _Kern((1, k, 1, d), name="h_conv")()
+        wv = _Kern((k, 1, 1, d), name="v_conv")()
+        wp = _Kern((1, 1, d, d), name="pw_conv")()
+        bn = BatchNorm2d(d, name="bn")
+
+        if self.use_pallas and not train:
+            from ..ops.pallas.lka import lka_gate
+            scale, shift = bn.affine()
+            return lka_gate(x, w5.reshape(5, 5, d), wh.reshape(k, d),
+                            wv.reshape(k, d), wp.reshape(d, d), scale, shift)
+
+        def dw(t, kern, kh, kw):
+            return jax.lax.conv_general_dilated(
+                t, kern, (1, 1), [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=d)
+
+        attn = dw(x, w5, 5, 5)
+        attn = dw(attn, wh, 1, k)
+        attn = dw(attn, wv, k, 1)
+        attn = jax.lax.conv_general_dilated(
+            attn, wp, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        attn = bn(attn, train)
         return x * jax.nn.sigmoid(attn)
 
 
@@ -48,6 +82,7 @@ class LKABlock(nn.Module):
     dim: int
     kernel_size: int = 21
     ffn_ratio: float = 2.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,6 +90,7 @@ class LKABlock(nn.Module):
         s2 = self.param("scale2", lambda k, s: jnp.asarray(0.1), ())
         h = BatchNorm2d(self.dim, name="norm1")(x, train)
         x = x + s1 * LargeKernelAttention(self.dim, self.kernel_size,
+                                          use_pallas=self.use_pallas,
                                           name="lka")(h, train)
         h = BatchNorm2d(self.dim, name="norm2")(x, train)
         ffn_dim = int(self.dim * self.ffn_ratio)
@@ -74,6 +110,7 @@ class EnhancedCrossBandWithLKA(nn.Module):
     num_bands: int = 9
     num_heads: int = 4
     lka_kernel: int = 21
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, bands: Sequence[jnp.ndarray], train: bool = False):
@@ -85,7 +122,8 @@ class EnhancedCrossBandWithLKA(nn.Module):
             normed, train)
         attn = attn + projected
 
-        lka_block = LKABlock(self.dim, self.lka_kernel, name="lka_block")
+        lka_block = LKABlock(self.dim, self.lka_kernel,
+                             use_pallas=self.use_pallas, name="lka_block")
         out_proj = nn.Conv(3, (1, 1), name="out_proj")
         outs = []
         for i, band in enumerate(bands):
@@ -102,6 +140,7 @@ class EnhancedCollaborativeWithLKA(nn.Module):
     feature_dim: int = 128
     num_heads: int = 8
     lka_kernel: int = 21
+    use_pallas: bool = False
     expert_channels: Dict[str, int] = None  # type: ignore[assignment]
 
     @nn.compact
@@ -136,7 +175,8 @@ class EnhancedCollaborativeWithLKA(nn.Module):
         h = nn.Dense(self.feature_dim, name="ffn_fc2")(gelu(h))
         stacked = stacked + h
 
-        lka = LKABlock(self.feature_dim, self.lka_kernel, name="lka_global")
+        lka = LKABlock(self.feature_dim, self.lka_kernel,
+                       use_pallas=self.use_pallas, name="lka_global")
         h_sr, w_sr = expert_outputs[0].shape[1], expert_outputs[0].shape[2]
         outs = []
         for i, out in enumerate(expert_outputs):

@@ -258,11 +258,6 @@ def fusion_key_fn(path: Tuple[str, ...]) -> str:
     (CompleteEnhancedFusionSR with the shipped io.py MODEL_CONFIG)."""
     parts = [p for p in path if p not in ("params", "batch_stats")]
     leaf = parts[-1]
-    # our BatchNorm2d wrapper nests an nn.BatchNorm named 'bn' — collapse it
-    if len(parts) >= 2 and parts[-2] == "bn" and leaf in (
-            "scale", "bias", "mean", "var"):
-        parts = parts[:-2] + [parts[-1]]
-
     body = parts[:-1]
     toks = []
     for i, p in enumerate(body):
