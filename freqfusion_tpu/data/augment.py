@@ -122,6 +122,46 @@ class TrainAugmentation:
         return lr, hr
 
 
+class FrequencyAugmentation:
+    """Train-time random per-band DCT coefficient scaling
+    (frequency_decomposition.py:549-616): with probability `prob`, the 8×8
+    block-DCT low/mid/high coefficients of both images are scaled by factors
+    drawn from (0.9,1.1)/(0.85,1.15)/(0.8,1.2). Host-side numpy."""
+
+    def __init__(self, block_size: int = 8,
+                 low_range=(0.9, 1.1), mid_range=(0.85, 1.15),
+                 high_range=(0.8, 1.2), prob: float = 0.5,
+                 seed: Optional[int] = None):
+        from ..ops.dct import band_masks_ratio, dct_matrix
+
+        self.n = block_size
+        self.ranges = (low_range, mid_range, high_range)
+        self.prob = prob
+        self.rng = np.random.default_rng(seed)
+        self.d = dct_matrix(block_size).astype(np.float64)
+        self.masks = band_masks_ratio(block_size, 0.25, 0.25)
+
+    def _apply(self, img: np.ndarray, scales) -> np.ndarray:
+        n = self.n
+        h, w, c = img.shape
+        ph, pw = (n - h % n) % n, (n - w % n) % n
+        x = np.pad(img, [(0, ph), (0, pw), (0, 0)], mode="reflect")
+        hp, wp = x.shape[:2]
+        blocks = x.reshape(hp // n, n, wp // n, n, c).transpose(0, 2, 4, 1, 3)
+        coeffs = np.einsum("ka,...ab,lb->...kl", self.d, blocks, self.d)
+        scale_map = sum(s * m for s, m in zip(scales, self.masks))
+        coeffs = coeffs * scale_map
+        out = np.einsum("ka,...kl,lb->...ab", self.d, coeffs, self.d)
+        out = out.transpose(0, 3, 1, 4, 2).reshape(hp, wp, c)
+        return np.clip(out[:h, :w], 0.0, 1.0).astype(np.float32)
+
+    def __call__(self, lr: np.ndarray, hr: np.ndarray):
+        if self.rng.random() >= self.prob:
+            return lr, hr
+        scales = [float(self.rng.uniform(*r)) for r in self.ranges]
+        return self._apply(lr, scales), self._apply(hr, scales)
+
+
 def geometric_augment_group(arrays, rng):
     """Apply ONE consistent flip/rotation to a group of arrays at possibly
     different resolutions (cached-mode augmentation, cached_dataset.py:214-268)."""

@@ -65,11 +65,11 @@ def _kernel(x_hbm, w5_ref, wh_ref, wv_ref, wp_ref, ab_ref, out_ref,
         # zero outputs outside the image: the chain's per-stage 'same' zero
         # padding means conv5 values beyond the border are 0 before the 1-D
         # convs run (torch semantics, large_kernel_attention.py:92-96)
-        rows = (jax.lax.broadcasted_iota(jnp.int32, (h5, w5o), 0)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (h5, w5o, c), 0)
                 + hi * bh - PAD_L)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (h5, w5o), 1) - PAD_L
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h5, w5o, c), 1) - PAD_L
         valid = ((rows >= 0) & (rows < h_true) & (cols >= 0) & (cols < w))
-        acc = acc * valid[:, :, None].astype(jnp.float32)
+        acc = jnp.where(valid, acc, 0.0)
 
         # 1×21 depthwise along W
         acc2 = jnp.zeros((h5, w, c), jnp.float32)
@@ -98,8 +98,26 @@ def _kernel(x_hbm, w5_ref, wh_ref, wv_ref, wp_ref, ab_ref, out_ref,
 @functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
 def lka_gate(x, w5, wh, wv, wp, scale, shift, block_h: int = 16,
              interpret: bool = False):
-    """Fused LKA gate. x [B,H,W,C] → gated [B,H,W,C] (zero 'same' padding)."""
+    """Fused LKA gate. x [B,H,W,C] → gated [B,H,W,C] (zero 'same' padding).
+
+    The channel (lane) dim is zero-padded to a multiple of 128 — this Mosaic
+    build requires full lanes for the halo-DMA pattern; padded lanes compute
+    zeros and are sliced away.
+    """
     b, h, w, c = x.shape
+    cp = -(-c // 128) * 128
+    if cp != c:
+        pc = cp - c
+        x = jnp.pad(x, [(0, 0)] * 3 + [(0, pc)])
+        w5 = jnp.pad(w5, [(0, 0), (0, 0), (0, pc)])
+        wh = jnp.pad(wh, [(0, 0), (0, pc)])
+        wv = jnp.pad(wv, [(0, 0), (0, pc)])
+        wp = jnp.pad(wp, [(0, pc), (0, pc)])
+        scale = jnp.pad(scale, (0, pc))
+        shift = jnp.pad(shift, (0, pc))
+        out = lka_gate(x, w5, wh, wv, wp, scale, shift,
+                       block_h=block_h, interpret=interpret)
+        return out[..., :c]
     ph = (block_h - h % block_h) % block_h
     xp = jnp.pad(x.astype(jnp.float32),
                  [(0, 0), (HALO, HALO + ph), (HALO, HALO), (0, 0)])
@@ -112,11 +130,16 @@ def lka_gate(x, w5, wh, wv, wp, scale, shift, block_h: int = 16,
         grid=(b, n_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM, DMA'd
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((5, 5, c), lambda bi, hi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, c), lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, c), lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda bi, hi: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_h, w, c),
                                lambda bi, hi: (bi, hi, 0, 0)),
