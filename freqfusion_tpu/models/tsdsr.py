@@ -1,0 +1,183 @@
+"""TSD-SR diffusion refinement (Phase 7c, optional), TPU-native.
+
+Re-design of /root/reference/src/models/tsdsr/dit.py and tsdsr_wrapper.py:
+a from-scratch DiT (sinusoidal time embedding, adaLN-conditioned transformer
+blocks over patch-embedded latents, zero-init final projection, 0.1-scaled
+one-step residual refinement at t=500) plus the inference wrapper with a
+1-step student path and a DDIM-style multi-step teacher path.
+
+The reference's latent codec is the pretrained SD AutoencoderKL via
+diffusers (scale 0.18215) with an identity passthrough when weights are
+absent (tsdsr_wrapper.py:322-333). diffusers/SD weights cannot be fetched in
+this environment, so the same graceful degradation applies: without a codec
+the refiner is an identity, and `TSDSRInference.available` reports it —
+matching the shipped model path, which does not use TSD-SR either
+(SURVEY.md §2.4 "optional").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoidal_time_embed(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """[B] timesteps → [B, dim] sinusoidal embedding."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half) / (half - 1))
+    ang = t[:, None].astype(jnp.float32) * freqs[None]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class AdaLayerNorm(nn.Module):
+    """adaLN: affine-free LN modulated by zero-init scale/shift from cond."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, cond):
+        ss = nn.Dense(2 * self.hidden, kernel_init=nn.initializers.zeros,
+                      name="mod")(cond)
+        scale, shift = jnp.split(ss, 2, axis=-1)
+        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        return x * (1.0 + scale[:, None]) + shift[:, None]
+
+
+class DiTBlock(nn.Module):
+    hidden: int
+    heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, cond):
+        h = AdaLayerNorm(self.hidden, name="norm1")(x, cond)
+        b, n, c = h.shape
+        hd = c // self.heads
+        qkv = nn.Dense(3 * c, name="qkv")(h).reshape(b, n, 3, self.heads, hd)
+        q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))
+        attn = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q * hd**-0.5, k,
+                       preferred_element_type=jnp.float32), axis=-1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                       preferred_element_type=jnp.float32)
+        o = jnp.moveaxis(o, 1, 2).reshape(b, n, c)
+        x = x + nn.Dense(c, name="proj")(o)
+
+        h = AdaLayerNorm(self.hidden, name="norm2")(x, cond)
+        h = nn.Dense(int(c * self.mlp_ratio), name="fc1")(h)
+        h = nn.Dense(c, name="fc2")(jax.nn.gelu(h, approximate=False))
+        return x + h
+
+
+class DiT(nn.Module):
+    """Latent-space diffusion transformer [B,H,W,C_lat] → predicted noise."""
+
+    in_channels: int = 4
+    hidden: int = 768
+    depth: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    patch: int = 2
+    time_embed_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, timestep):
+        b, h, w, c = x.shape
+        p = self.patch
+        tokens = nn.Conv(self.hidden, (p, p), strides=(p, p), padding="VALID",
+                         name="patch_embed")(x)
+        gh, gw = tokens.shape[1], tokens.shape[2]
+        tokens = tokens.reshape(b, gh * gw, self.hidden)
+
+        t = sinusoidal_time_embed(timestep, self.time_embed_dim)
+        t = nn.Dense(self.hidden * 4, name="time_fc1")(t)
+        t = nn.Dense(self.hidden, name="time_fc2")(jax.nn.gelu(t, approximate=False))
+
+        for i in range(self.depth):
+            tokens = DiTBlock(self.hidden, self.heads, self.mlp_ratio,
+                              name=f"blocks_{i}")(tokens, t)
+
+        tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)
+        out = nn.Dense(p * p * self.in_channels,
+                       kernel_init=nn.initializers.zeros, name="final_layer")(tokens)
+        out = out.reshape(b, gh, gw, p, p, self.in_channels)
+        out = jnp.transpose(out, (0, 1, 3, 2, 4, 5))
+        return out.reshape(b, gh * p, gw * p, self.in_channels)
+
+
+class TSDSRDiT(nn.Module):
+    """One-step refinement head: latent + 0.1·DiT(latent, t=500)."""
+
+    hidden: int = 768
+    depth: int = 12
+    heads: int = 12
+    one_step_timestep: int = 500
+
+    @nn.compact
+    def __call__(self, latent, timestep: Optional[jnp.ndarray] = None):
+        if timestep is None:
+            timestep = jnp.full((latent.shape[0],), self.one_step_timestep)
+        pred = DiT(hidden=self.hidden, depth=self.depth, heads=self.heads,
+                   name="dit")(latent, timestep)
+        return latent + pred * 0.1
+
+
+def tsdsr_small():
+    return TSDSRDiT(hidden=384, depth=12, heads=6)
+
+
+def tsdsr_base():
+    return TSDSRDiT(hidden=768, depth=12, heads=12)
+
+
+class TSDSRInference:
+    """Inference wrapper (tsdsr_wrapper.py:221-405 semantics).
+
+    Without a latent codec (no SD VAE weights in this environment) `refine`
+    is the identity, mirroring the reference's passthrough when weights are
+    missing. With a codec: encode → student (1 step @ t=500) or teacher
+    (`num_steps` descending timesteps, DDIM-style residual chain) → decode.
+    """
+
+    def __init__(self, dit: Optional[TSDSRDiT] = None, params=None,
+                 codec=None, mode: str = "student", num_steps: int = 20):
+        self.dit = dit
+        self.params = params
+        self.codec = codec
+        self.mode = mode
+        self.num_steps = num_steps
+
+    @property
+    def available(self) -> bool:
+        return self.dit is not None and self.params is not None \
+            and self.codec is not None
+
+    def refine(self, sr_img: jnp.ndarray) -> jnp.ndarray:
+        if not self.available:
+            return sr_img  # identity passthrough
+        lat = self.codec.encode(sr_img)
+        if self.mode == "student":
+            lat = self.dit.apply(self.params, lat)
+        else:
+            for t in np.linspace(999, 1, self.num_steps):
+                ts = jnp.full((lat.shape[0],), float(t))
+                lat = self.dit.apply(self.params, lat, ts)
+        return jnp.clip(self.codec.decode(lat), 0.0, 1.0)
+
+
+class CompleteSRPipeline:
+    """Fusion output + optional frozen TSD-SR refinement
+    (complete_sr_pipeline.py:35-341 semantics): `__call__(sr, use_tsdsr)`."""
+
+    def __init__(self, tsdsr: Optional[TSDSRInference] = None):
+        self.tsdsr = tsdsr or TSDSRInference()
+
+    def __call__(self, sr_img: jnp.ndarray, use_tsdsr: bool = True) -> jnp.ndarray:
+        if use_tsdsr and self.tsdsr.available:
+            return self.tsdsr.refine(sr_img)
+        return sr_img

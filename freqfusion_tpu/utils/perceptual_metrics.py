@@ -1,0 +1,93 @@
+"""Perceptual quality evaluation (reference src/utils/perceptual_metrics.py).
+
+The reference wraps LPIPS + pyiqa metric networks behind availability flags
+and aggregates a perceptual score. Those metric networks require pretrained
+backbones that cannot be fetched in this zero-egress environment, so this
+module keeps the same interface and flag behavior — each metric reports
+availability, unavailable metrics return NaN, and `perceptual_score` uses
+whatever is available (same formula as eval.py:245-268).
+
+Always-available metrics implemented natively: PSNR, SSIM (Y, border 4) and
+a gradient-magnitude sharpness proxy.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import numpy as np
+
+from .metrics import psnr_ssim_files
+
+
+def _try_import(name):
+    try:
+        __import__(name)
+        return True
+    except ImportError:
+        return False
+
+
+class PerceptualEvaluator:
+    def __init__(self):
+        self.lpips_available = _try_import("lpips")
+        self.pyiqa_available = _try_import("pyiqa")
+        self._lpips = None
+        if self.lpips_available:
+            try:
+                import lpips
+                self._lpips = lpips.LPIPS(net="alex")
+            except Exception:
+                self.lpips_available = False
+
+    @property
+    def available_metrics(self):
+        out = ["psnr", "ssim", "sharpness"]
+        if self.lpips_available:
+            out.append("lpips")
+        if self.pyiqa_available:
+            out += ["dists", "niqe", "musiq", "maniqa", "clipiqa"]
+        return out
+
+    @staticmethod
+    def sharpness(img: np.ndarray) -> float:
+        """Mean gradient magnitude — a no-reference sharpness proxy."""
+        g = img.astype(np.float64)
+        gy = np.diff(g, axis=0)
+        gx = np.diff(g, axis=1)
+        return float(np.mean(np.abs(gy)) + np.mean(np.abs(gx)))
+
+    def evaluate_pair(self, output: np.ndarray, target: np.ndarray,
+                      border: int = 4) -> Dict[str, float]:
+        """uint8 HWC RGB pair → metric dict (NaN for unavailable metrics)."""
+        p, s = psnr_ssim_files(output, target, border)
+        res = {
+            "psnr": p, "ssim": s, "sharpness": self.sharpness(output),
+            "lpips": float("nan"), "dists": float("nan"),
+            "niqe": float("nan"), "musiq": float("nan"),
+            "maniqa": float("nan"), "clipiqa": float("nan"),
+        }
+        if self._lpips is not None:
+            import torch
+            to_t = lambda a: torch.from_numpy(
+                a.astype(np.float32) / 127.5 - 1.0).permute(2, 0, 1)[None]
+            with torch.no_grad():
+                res["lpips"] = float(self._lpips(to_t(output), to_t(target)))
+        return res
+
+    @staticmethod
+    def perceptual_score(means: Dict[str, float]) -> float:
+        """(1−LPIPS)+(1−DISTS)+CLIPIQA+MANIQA+MUSIQ/100+max(0,(10−NIQE)/10),
+        summing only the available (non-NaN) terms."""
+        score = 0.0
+        for k, term in (("lpips", lambda v: 1.0 - v),
+                        ("dists", lambda v: 1.0 - v),
+                        ("clipiqa", lambda v: v),
+                        ("maniqa", lambda v: v),
+                        ("musiq", lambda v: v / 100.0),
+                        ("niqe", lambda v: max(0.0, (10.0 - v) / 10.0))):
+            v = means.get(k, float("nan"))
+            if not math.isnan(v):
+                score += term(v)
+        return score
