@@ -69,6 +69,27 @@ def tiled_sr(
     ov_hr = overlap * scale
     t_hr = tile * scale
 
+    from ..native import load_stitch_lib
+    lib = load_stitch_lib()
+
+    def accumulate(sr_tile, y, x):
+        wy = _ramp_profile(t_hr, ov_hr, y > 0, y + tile < hp)
+        wx = _ramp_profile(t_hr, ov_hr, x > 0, x + tile < wp)
+        ys_hr, xs_hr = y * scale, x * scale
+        if lib is not None:
+            import ctypes
+            fp = ctypes.POINTER(ctypes.c_float)
+            sr_tile = np.ascontiguousarray(sr_tile, np.float32)
+            lib.stitch_accumulate(
+                out.ctypes.data_as(fp), acc.ctypes.data_as(fp),
+                sr_tile.ctypes.data_as(fp), wy.ctypes.data_as(fp),
+                wx.ctypes.data_as(fp), out.shape[0], out.shape[1],
+                t_hr, t_hr, ys_hr, xs_hr)
+        else:
+            wmap = (wy[:, None] * wx[None, :])[:, :, None]
+            out[ys_hr:ys_hr + t_hr, xs_hr:xs_hr + t_hr] += sr_tile * wmap
+            acc[ys_hr:ys_hr + t_hr, xs_hr:xs_hr + t_hr] += wmap
+
     for i in range(0, len(coords), batch):
         chunk = coords[i:i + batch]
         tiles = np.stack([lr[y:y + tile, x:x + tile] for (y, x) in chunk])
@@ -77,13 +98,15 @@ def tiled_sr(
                 [tiles, np.repeat(tiles[-1:], batch - len(chunk), axis=0)])
         sr_tiles = np.asarray(forward_batch(tiles))
         for j, (y, x) in enumerate(chunk):
-            wy = _ramp_profile(t_hr, ov_hr, y > 0, y + tile < hp)
-            wx = _ramp_profile(t_hr, ov_hr, x > 0, x + tile < wp)
-            wmap = (wy[:, None] * wx[None, :])[:, :, None]
-            ys_hr, xs_hr = y * scale, x * scale
-            out[ys_hr:ys_hr + t_hr, xs_hr:xs_hr + t_hr] += sr_tiles[j] * wmap
-            acc[ys_hr:ys_hr + t_hr, xs_hr:xs_hr + t_hr] += wmap
-    out = out / np.maximum(acc, 1e-8)
+            accumulate(sr_tiles[j], y, x)
+
+    if lib is not None:
+        import ctypes
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.stitch_normalize(out.ctypes.data_as(fp), acc.ctypes.data_as(fp),
+                             out.shape[0], out.shape[1], 1e-8)
+    else:
+        out = out / np.maximum(acc, 1e-8)
     return out[: h * scale, : w * scale]
 
 

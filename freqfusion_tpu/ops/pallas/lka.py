@@ -96,7 +96,7 @@ def _kernel(x_hbm, w5_ref, wh_ref, wv_ref, wp_ref, ab_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
-def lka_gate(x, w5, wh, wv, wp, scale, shift, block_h: int = 16,
+def lka_gate(x, w5, wh, wv, wp, scale, shift, block_h: int = 0,
              interpret: bool = False):
     """Fused LKA gate. x [B,H,W,C] → gated [B,H,W,C] (zero 'same' padding).
 
@@ -106,6 +106,10 @@ def lka_gate(x, w5, wh, wv, wp, scale, shift, block_h: int = 16,
     """
     b, h, w, c = x.shape
     cp = -(-c // 128) * 128
+    if block_h <= 0:
+        # keep the kernel's live VMEM (input + the three conv accumulators)
+        # comfortably under the 16 MB budget
+        block_h = max(8, (16 * 128) // cp)
     if cp != c:
         pc = cp - c
         x = jnp.pad(x, [(0, 0)] * 3 + [(0, pc)])
