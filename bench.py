@@ -30,7 +30,9 @@ N_CHIPS_TARGET = 8
 
 TILE = 128
 OVERLAP = 32
-TILE_BATCH = 4
+TILE_BATCH = int(os.environ.get("FREQFUSION_TILE_BATCH", "4"))
+DTYPE = os.environ.get("FREQFUSION_BENCH_DTYPE", "float32")  # or "bfloat16"
+USE_PALLAS = os.environ.get("FREQFUSION_USE_PALLAS", "0") == "1"
 LR_H, LR_W = 339, 510   # DIV2K ×4 LR size for a 2040×1356 HR image
 
 
@@ -46,13 +48,22 @@ def main():
     from freqfusion_tpu.models.fusion import FusionConfig
     from freqfusion_tpu.infer.tiling import tiled_sr, num_tiles
 
-    model = FreqFusionSR(FusionConfig())
+    model = FreqFusionSR(FusionConfig(use_pallas=USE_PALLAS))
     dummy = jnp.zeros((TILE_BATCH, TILE, TILE, 3), jnp.float32)
     with jax.default_device(jax.devices("cpu")[0]):
         variables = model.init(jax.random.PRNGKey(0), dummy)
+    if DTYPE == "bfloat16":
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, variables)
     variables = jax.device_put(variables, jax.devices()[0])
 
-    fwd = jax.jit(lambda v, t: model.apply(v, t))
+    def _fwd(v, t):
+        if DTYPE == "bfloat16":
+            t = t.astype(jnp.bfloat16)
+        return model.apply(v, t).astype(jnp.float32)
+
+    fwd = jax.jit(_fwd)
 
     def forward_batch(tiles):
         return np.asarray(fwd(variables, jnp.asarray(tiles)))

@@ -176,6 +176,28 @@ def edge_loss(pred, target):
     return jnp.mean(jnp.abs(pgx - tgx)) + jnp.mean(jnp.abs(pgy - tgy))
 
 
+class VGGPerceptualLoss:
+    """API stub for the reference's VGG19 feature loss
+    (perceptual_loss.py:298-499). The IMAGENET1K backbone cannot be fetched
+    in this zero-egress environment; constructing this class raises, and
+    CombinedLoss transparently redirects vgg weight to the FFT loss."""
+
+    def __init__(self, *a, **k):
+        raise RuntimeError(
+            "VGG19 pretrained weights unavailable in this environment; "
+            "CombinedLoss redirects the vgg weight to the FFT loss instead")
+
+
+class CLIPPerceptualLoss:
+    """API stub for the Track-B CLIP prompt-similarity loss
+    (perceptual_loss.py:856-989); same unavailability contract as VGG."""
+
+    def __init__(self, *a, **k):
+        raise RuntimeError(
+            "CLIP pretrained weights unavailable in this environment; "
+            "CombinedLoss redirects the clip weight to the FFT loss instead")
+
+
 DEFAULT_WEIGHTS = {
     "l1": 1.0, "charbonnier": 0.5, "l2": 0.5, "vgg": 0.1, "swt": 0.2,
     "fft": 0.15, "edge": 0.1, "ssim": 0.1, "clip": 0.0,

@@ -54,7 +54,9 @@ class LargeKernelAttention(nn.Module):
         wp = _Kern((1, 1, d, d), name="pw_conv")()
         bn = BatchNorm2d(d, name="bn")
 
-        if self.use_pallas and not train:
+        # the fused kernel wins only at full 128-lane channel counts
+        # (measured on v5e: 2.5× at C=128; lane padding loses at C=64)
+        if self.use_pallas and not train and d % 128 == 0:
             from ..ops.pallas.lka import lka_gate
             scale, shift = bn.affine()
             return lka_gate(x, w5.reshape(5, 5, d), wh.reshape(k, d),
