@@ -103,9 +103,23 @@ class InferencePipeline:
 
     def __init__(self, model_dir: str, tile: int = TILE, overlap: int = OVERLAP,
                  tile_batch: int = TILE_BATCH, precision: str = "highest",
-                 seed: int = 0):
+                 seed: int = 0, n_devices: Optional[int] = None):
         enable_compilation_cache()
-        self.tile, self.overlap, self.tile_batch = tile, overlap, tile_batch
+        self.tile, self.overlap = tile, overlap
+        # multi-chip: shard the tile batch over a ('data',) mesh (the
+        # TPU-native replacement for the reference's per-GPU expert placement,
+        # SURVEY.md §2.8); single chip keeps plain jit.
+        self.mesh = None
+        if n_devices is None:
+            n_devices = len(jax.devices()) if len(jax.devices()) > 1 else 1
+        if n_devices > 1:
+            from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+            self.mesh = make_mesh(n_devices)
+            self._data_sh = batch_sharding(self.mesh)
+            self._repl_sh = replicated_sharding(self.mesh)
+            tile_batch = max(tile_batch, n_devices)
+            tile_batch += (-tile_batch) % n_devices
+        self.tile_batch = tile_batch
         self.model = FreqFusionSR(MODEL_CONFIG)
         dummy = jnp.zeros((tile_batch, tile, tile, 3), jnp.float32)
         with jax.default_device(jax.devices("cpu")[0]):
@@ -116,18 +130,28 @@ class InferencePipeline:
         if model_dir:
             variables = _load_expert_params(variables, model_dir)
             variables = _load_fusion_params(variables, model_dir)
-        self.variables = jax.device_put(
-            jax.tree_util.tree_map(jnp.asarray, variables))
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        if self.mesh is not None:
+            self.variables = jax.device_put(variables, self._repl_sh)
+        else:
+            self.variables = jax.device_put(variables)
 
         def fwd(variables, tiles):
             with jax.default_matmul_precision(
                     "highest" if precision == "highest" else "bfloat16"):
                 return self.model.apply(variables, tiles)
 
-        self._fwd = jax.jit(fwd)
+        if self.mesh is not None:
+            self._fwd = jax.jit(fwd, in_shardings=(self._repl_sh, self._data_sh),
+                                out_shardings=self._data_sh)
+        else:
+            self._fwd = jax.jit(fwd)
 
     def forward_batch(self, tiles: np.ndarray) -> np.ndarray:
-        return np.asarray(self._fwd(self.variables, jnp.asarray(tiles)))
+        tiles = jnp.asarray(tiles)
+        if self.mesh is not None:
+            tiles = jax.device_put(tiles, self._data_sh)
+        return np.asarray(self._fwd(self.variables, tiles))
 
     def run_image(self, lr: np.ndarray) -> np.ndarray:
         return tiled_sr(lr, self.forward_batch, self.tile, self.overlap,

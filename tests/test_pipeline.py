@@ -47,6 +47,38 @@ def test_full_model_end_to_end_tiled():
     assert sr.min() >= 0.0 and sr.max() <= 1.0
 
 
+def test_mesh_sharded_tiled_inference_matches_single_device():
+    """Sharding the tile batch over the 8-device mesh must be bitwise-free of
+    the sharding (same program, psum-free data parallel)."""
+    from freqfusion_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated_sharding)
+
+    model = FreqFusionSR(FusionConfig(), **TINY)
+    tile, batch = 16, 8
+    dummy = jnp.zeros((batch, tile, tile, 3))
+    variables = model.init(jax.random.PRNGKey(0), dummy)
+
+    mesh = make_mesh(8)
+    repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+    v_sharded = jax.device_put(variables, repl)
+    fwd_sharded = jax.jit(lambda v, t: model.apply(v, t),
+                          in_shardings=(repl, data), out_shardings=data)
+    fwd_single = jax.jit(lambda v, t: model.apply(v, t))
+
+    lr = np.random.default_rng(1).uniform(size=(30, 40, 3)).astype(np.float32)
+
+    def fb_sharded(tiles):
+        return np.asarray(fwd_sharded(v_sharded, jax.device_put(
+            jnp.asarray(tiles), data)))
+
+    def fb_single(tiles):
+        return np.asarray(fwd_single(variables, jnp.asarray(tiles)))
+
+    sr_sharded = tiled_sr(lr, fb_sharded, tile=tile, overlap=4, batch=batch)
+    sr_single = tiled_sr(lr, fb_single, tile=tile, overlap=4, batch=batch)
+    np.testing.assert_allclose(sr_sharded, sr_single, atol=1e-5)
+
+
 def test_experts_are_frozen_in_training():
     model = FreqFusionSR(FusionConfig(), **TINY)
     x = jnp.ones((1, 16, 16, 3)) * 0.5
