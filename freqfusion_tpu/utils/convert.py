@@ -44,12 +44,20 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def _adapt(torch_arr: np.ndarray, flax_shape: Tuple[int, ...]) -> np.ndarray:
-    """Convert a torch tensor to the flax leaf layout."""
+def _adapt(torch_arr: np.ndarray, flax_shape: Tuple[int, ...],
+           leaf: str = "kernel") -> np.ndarray:
+    """Convert a torch tensor to the flax leaf layout.
+
+    2-D transposition applies only to weight kernels (Dense OI→IO, packed
+    MHA in_proj) — plain square parameter matrices (e.g. the fusion head's
+    expert_weights [E,bands]) must pass through untouched.
+    """
     a = np.asarray(torch_arr)
-    if a.ndim == 4 and len(flax_shape) == 4:
+    transposable = leaf in ("kernel", "in_proj_weight")
+    if a.ndim == 4 and len(flax_shape) == 4 and transposable:
         a = np.transpose(a, (2, 3, 1, 0))  # OIHW → HWIO
-    elif a.ndim == 2 and len(flax_shape) == 2 and a.shape == flax_shape[::-1]:
+    elif (a.ndim == 2 and len(flax_shape) == 2 and transposable
+          and a.shape == flax_shape[::-1]):
         a = a.T  # linear OI → IO
     if a.shape != tuple(flax_shape):
         a = a.reshape(flax_shape)
@@ -71,7 +79,8 @@ def fill_params(flax_params, torch_sd: Dict[str, np.ndarray],
     for path, leaf in flat.items():
         tkey = key_fn(path)
         if tkey in torch_sd:
-            out[path] = _adapt(torch_sd[tkey], leaf.shape).astype(np.asarray(leaf).dtype)
+            out[path] = _adapt(torch_sd[tkey], leaf.shape,
+                               path[-1]).astype(np.asarray(leaf).dtype)
             used.add(tkey)
         else:
             if strict:
@@ -250,6 +259,8 @@ _FUSION_SEQ = {
     "fusion_conv1": "fusion.0", "fusion_conv2": "fusion.2",
     # adaptive band predictor
     "predictor_fc1": "predictor.0", "predictor_fc2": "predictor.2",
+    # FrequencyAwareFusion baseline refinement conv
+    "refine_conv1": "refine_conv.0", "refine_conv2": "refine_conv.2",
 }
 
 

@@ -67,6 +67,47 @@ def test_enhanced_multifusion_wrapper():
     assert fused.shape == (1, 64, 64, 3)
 
 
+def test_frequency_aware_fusion_parity_vs_reference():
+    from ref_utils import has_reference, has_torch, ref_import, to_nchw, to_nhwc, torch_state_dict_numpy
+    if not (has_reference() and has_torch()):
+        import pytest
+        pytest.skip("reference/torch unavailable")
+    import torch
+    from freqfusion_tpu.utils.convert import fill_params, fusion_key_fn
+
+    ref_mod = ref_import("src.models.fusion_network")
+    torch.manual_seed(0)
+    ref = ref_mod.FrequencyAwareFusion(num_experts=3, num_bands=3,
+                                       use_residual=True,
+                                       use_multiscale=True).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(torch.randn_like(p) * 0.05)
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.8, 1.2)
+
+    rng = np.random.default_rng(7)
+    lr = rng.uniform(size=(1, 16, 16, 3)).astype(np.float32)
+    outs = [rng.uniform(size=(1, 64, 64, 3)).astype(np.float32) for _ in range(3)]
+
+    model = FrequencyAwareFusion()
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(lr),
+                           [jnp.asarray(o) for o in outs])
+    sd = torch_state_dict_numpy(ref)
+    new_p, rep = fill_params(variables["params"], sd, fusion_key_fn)
+    assert not rep["missing"], rep["missing"][:5]
+    new_s, _ = fill_params(variables["batch_stats"], sd, fusion_key_fn)
+
+    ours = model.apply({"params": new_p, "batch_stats": new_s},
+                       jnp.asarray(lr), [jnp.asarray(o) for o in outs])
+    with torch.no_grad():
+        theirs = ref(to_nchw(lr), [to_nchw(o) for o in outs])
+    np.testing.assert_allclose(np.asarray(ours), to_nhwc(theirs),
+                               atol=2e-4, rtol=1e-3)
+
+
 def test_frequency_augmentation_preserves_when_identity():
     aug = FrequencyAugmentation(prob=1.0, low_range=(1.0, 1.0),
                                 mid_range=(1.0, 1.0), high_range=(1.0, 1.0),
