@@ -38,7 +38,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from freqfusion_tpu.data.augment import paired_random_crop
     from freqfusion_tpu.data.dataset import find_split_dirs, list_image_paths, match_pairs
     from freqfusion_tpu.models.experts import ExpertEnsemble
     from freqfusion_tpu.infer.io import _load_expert_params
@@ -61,37 +60,16 @@ def main():
     variables = jax.device_put(jax.tree_util.tree_map(jnp.asarray, variables))
     fwd = jax.jit(lambda v, x: model.apply(v, x))
 
-    rng = np.random.default_rng(args.seed)
-    pending, names = [], []
+    from freqfusion_tpu.data.extract import extract_cached_features
 
-    def flush():
-        nonlocal pending, names
-        if not pending:
-            return
-        batch = np.stack([p[0] for p in pending])
-        hrs = [p[1] for p in pending]
-        while batch.shape[0] < args.batch:  # pad to the static batch shape
-            batch = np.concatenate([batch, batch[-1:]])
-        outputs, features = jax.device_get(fwd(variables, jnp.asarray(batch)))
-        for i, name in enumerate(names):
-            np.savez_compressed(
-                os.path.join(args.out, f"{name}.npz"),
-                lr=batch[i], hr=hrs[i],
-                **{f"out_{k}": np.asarray(v[i]) for k, v in outputs.items()},
-                **{f"feat_{k}": np.asarray(v[i]) for k, v in features.items()})
-        pending, names = [], []
+    def forward(batch):
+        return jax.device_get(fwd(variables, jnp.asarray(batch)))
 
-    for lr_path, hr_path in pairs:
-        lr = load_image(str(lr_path))
-        hr = load_image(str(hr_path))
-        for c in range(args.crops_per_image):
-            lr_c, hr_c = paired_random_crop(lr, hr, args.patch, args.scale, rng)
-            pending.append((lr_c, hr_c))
-            names.append(f"{hr_path.stem}_c{c:02d}")
-            if len(pending) == args.batch:
-                flush()
-    flush()
-    print(f"wrote cached features to {args.out}")
+    n = extract_cached_features(
+        pairs, lambda lp, hp: (load_image(str(lp)), load_image(str(hp))),
+        forward, args.out, args.patch, args.crops_per_image, args.batch,
+        args.scale, args.seed)
+    print(f"wrote {n} cached samples to {args.out}")
 
 
 if __name__ == "__main__":

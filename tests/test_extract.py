@@ -1,0 +1,66 @@
+"""End-to-end cached-training loop: extractor → cached dataset → train step.
+
+Closes the loop the reference leaves open (its producer script is missing,
+SURVEY.md §3.5): tiny experts generate a cache, the cached dataset reads it,
+and a fusion-head train step consumes the batch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from freqfusion_tpu.data.cached import CachedFeatureDataset, batch_iterator
+from freqfusion_tpu.data.extract import extract_cached_features
+from freqfusion_tpu.losses import CombinedLoss
+from freqfusion_tpu.models.experts import ExpertEnsemble
+from freqfusion_tpu.models.fusion import FusionConfig, FusionHead
+from freqfusion_tpu.training.steps import (
+    init_train_state, make_optimizer, make_train_step)
+
+TINY = dict(
+    hat_kwargs=dict(embed_dim=24, depths=(1,), num_heads=(2,), window=4, squeeze=6),
+    dat_kwargs=dict(embed_dim=32, depths=(2,), num_heads=(2,), split_size=(2, 4),
+                    expansion=2.0),
+    nafnet_kwargs=dict(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+                       dec_blk_nums=(1, 1)),
+)
+
+
+def test_extract_then_train_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    model = ExpertEnsemble(**TINY)
+    patch, batch = 8, 2
+    dummy = jnp.zeros((batch, patch, patch, 3))
+    variables = model.init(jax.random.PRNGKey(0), dummy)
+    fwd = jax.jit(lambda t: model.apply(variables, t))
+
+    def forward(arr):
+        return jax.device_get(fwd(jnp.asarray(arr)))
+
+    pairs = []
+    imgs = {}
+    for i in range(3):
+        hr = rng.uniform(size=(48, 48, 3)).astype(np.float32)
+        imgs[f"im{i}"] = (hr[::4, ::4], hr)
+        pairs.append((f"im{i}", f"im{i}"))
+
+    n = extract_cached_features(
+        pairs, lambda lp, hp: imgs[lp], forward, str(tmp_path),
+        patch=patch, crops_per_image=2, batch=batch, seed=1)
+    assert n == 6
+
+    ds = CachedFeatureDataset(tmp_path, augment=True, seed=2)
+    sample = ds[0]
+    assert sample["feat_hat"].shape == (patch, patch, 24)
+    assert sample["feat_nafnet"].shape == (patch, patch, 8)
+
+    fusion = FusionHead(FusionConfig(fusion_dim=16, num_heads=2,
+                                     refine_depth=2, refine_channels=8))
+    criterion = CombinedLoss({"l1": 1.0, "charbonnier": 0, "l2": 0, "vgg": 0,
+                              "swt": 0, "fft": 0, "edge": 0, "ssim": 0})
+    tx = make_optimizer(lambda _: 1e-3)
+    b = next(batch_iterator(ds, 2, seed=3))
+    # tiny expert feature dims get channel-padded by the collaborative module
+    state = init_train_state(fusion, tx, jax.random.PRNGKey(0), b)
+    step = jax.jit(make_train_step(fusion, criterion, tx))
+    state, metrics = step(state, b, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
