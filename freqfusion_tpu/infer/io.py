@@ -103,7 +103,9 @@ class InferencePipeline:
 
     def __init__(self, model_dir: str, tile: int = TILE, overlap: int = OVERLAP,
                  tile_batch: int = TILE_BATCH, precision: str = "highest",
-                 seed: int = 0, n_devices: Optional[int] = None):
+                 seed: int = 0, n_devices: Optional[int] = None,
+                 fusion_config: Optional[FusionConfig] = None,
+                 expert_kwargs: Optional[dict] = None):
         enable_compilation_cache()
         self.tile, self.overlap = tile, overlap
         # multi-chip: shard the tile batch over a ('data',) mesh (the
@@ -120,7 +122,8 @@ class InferencePipeline:
             tile_batch = max(tile_batch, n_devices)
             tile_batch += (-tile_batch) % n_devices
         self.tile_batch = tile_batch
-        self.model = FreqFusionSR(MODEL_CONFIG)
+        self.model = FreqFusionSR(fusion_config or MODEL_CONFIG,
+                                  **(expert_kwargs or {}))
         dummy = jnp.zeros((tile_batch, tile, tile, 3), jnp.float32)
         with jax.default_device(jax.devices("cpu")[0]):
             variables = self.model.init(jax.random.PRNGKey(seed), dummy)
