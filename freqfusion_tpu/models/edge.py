@@ -32,7 +32,7 @@ def gaussian_blur(x: jnp.ndarray, size: int = 5, sigma: float = 1.5) -> jnp.ndar
     padding=2 semantics)."""
     c = x.shape[-1]
     k = jnp.asarray(_gaussian_kernel(size, sigma))[:, :, None, None]
-    k = jnp.tile(k, (1, 1, 1, c))
+    k = jnp.tile(k, (1, 1, 1, c)).astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x, k, (1, 1), padding=[(size // 2, size // 2)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
@@ -41,7 +41,8 @@ def gaussian_blur(x: jnp.ndarray, size: int = 5, sigma: float = 1.5) -> jnp.ndar
 
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
 
 
 class SpatialEdgeAttention(nn.Module):

@@ -69,6 +69,7 @@ def _dwt_conv(x, filt, axis):
     else:
         kernel = jnp.asarray(filt).reshape(1, -1, 1, 1) * jnp.ones((1, 1, 1, c))
         strides = (1, 2)
+    kernel = kernel.astype(x.dtype)
     return jax.lax.conv_general_dilated(
         xp, kernel, window_strides=strides, padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,

@@ -73,6 +73,51 @@ class FusionConfig:
     use_pallas: bool = False  # fused Pallas LKA kernel on the eval path
 
 
+#: claimed per-module PSNR gains (enhanced_fusion.py:843-868)
+EXPECTED_GAINS_DB = {
+    "dynamic_expert_selection": 0.30,
+    "cross_band_attention": 0.20,
+    "adaptive_frequency_bands": 0.15,
+    "multi_resolution_fusion": 0.25,
+    "hierarchical_fusion": 0.80,
+    "collaborative_learning": 0.20,
+}
+
+
+def improvement_status(cfg: FusionConfig) -> dict:
+    """Enabled-improvement flags (enhanced_fusion.py get_improvement_status)."""
+    return {
+        "dynamic_expert_selection": cfg.enable_dynamic_selection,
+        "cross_band_attention": cfg.enable_cross_band_attn,
+        "adaptive_frequency_bands": cfg.enable_adaptive_bands,
+        "multi_resolution_fusion": cfg.enable_multi_resolution,
+        "hierarchical_fusion": cfg.enable_hierarchical,
+        "collaborative_learning": cfg.enable_collaborative,
+        "lka": cfg.enable_lka,
+        "edge_enhance": cfg.enable_edge_enhance,
+        "multi_domain_freq": cfg.enable_multi_domain_freq,
+    }
+
+
+def expected_psnr_gain(cfg: FusionConfig) -> float:
+    """Sum of claimed gains for the enabled improvements
+    (enhanced_fusion.py get_expected_psnr_gain)."""
+    total = 0.0
+    if cfg.enable_dynamic_selection:
+        total += EXPECTED_GAINS_DB["dynamic_expert_selection"]
+    if cfg.enable_cross_band_attn:
+        total += EXPECTED_GAINS_DB["cross_band_attention"]
+    if cfg.enable_adaptive_bands:
+        total += EXPECTED_GAINS_DB["adaptive_frequency_bands"]
+    if cfg.enable_hierarchical:
+        total += EXPECTED_GAINS_DB["hierarchical_fusion"]
+    elif cfg.enable_multi_resolution:
+        total += EXPECTED_GAINS_DB["multi_resolution_fusion"]
+    if cfg.enable_collaborative:
+        total += EXPECTED_GAINS_DB["collaborative_learning"]
+    return total
+
+
 class RefineNet(nn.Module):
     """Phase-7 refinement: depth-D conv+GELU stack (0.1-scaled residual) +
     learnable bilinear LR residual + clamp."""

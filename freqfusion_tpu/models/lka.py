@@ -64,7 +64,8 @@ class LargeKernelAttention(nn.Module):
 
         def dw(t, kern, kh, kw):
             return jax.lax.conv_general_dilated(
-                t, kern, (1, 1), [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+                t, kern.astype(t.dtype), (1, 1),
+                [(kh // 2, kh // 2), (kw // 2, kw // 2)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=d)
 
@@ -72,7 +73,7 @@ class LargeKernelAttention(nn.Module):
         attn = dw(attn, wh, 1, k)
         attn = dw(attn, wv, k, 1)
         attn = jax.lax.conv_general_dilated(
-            attn, wp, (1, 1), "VALID",
+            attn, wp.astype(attn.dtype), (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         attn = bn(attn, train)
         return x * jax.nn.sigmoid(attn)

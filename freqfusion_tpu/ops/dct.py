@@ -128,8 +128,9 @@ def block_dct_bands(x: jnp.ndarray, operator: np.ndarray, n: int = 8,
     """Decompose NHWC into `num_bands` spatial band images with one matmul."""
     xp, (h, w) = reflect_pad_to_block(x, n)
     blocks = blockify(xp, n)
-    out = jnp.einsum("bijcv,vu->bijcu", blocks, jnp.asarray(operator),
-                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("bijcv,vu->bijcu", blocks,
+                     jnp.asarray(operator).astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     bands = []
     for k in range(num_bands):
         band = unblockify(out[..., k * n * n:(k + 1) * n * n], n)
