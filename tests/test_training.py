@@ -45,6 +45,24 @@ def test_warmup_then_sgdr_schedule():
     assert float(sch(61)) > float(sch(59))  # restart jumps back up
 
 
+def test_sgdr_matches_torch_scheduler():
+    """cosine_warm_restarts must track torch CosineAnnealingWarmRestarts."""
+    torch = pytest.importorskip("torch")
+    from freqfusion_tpu.training.schedule import cosine_warm_restarts
+
+    base_lr, t0, t_mult = 1.5e-4, 50, 2
+    sch = cosine_warm_restarts(base_lr, t0, t_mult)
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    tsch = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=t0, T_mult=t_mult)
+    for step in range(220):
+        ours = float(sch(step))
+        theirs = tsch.get_last_lr()[0]
+        assert abs(ours - theirs) < 1e-8, (step, ours, theirs)
+        opt.step()
+        tsch.step()
+
+
 def test_multistage_scheduler():
     stages = [
         {"epochs": [0, 80], "stage_name": "a", "weights": {"l1": 1.0}},
