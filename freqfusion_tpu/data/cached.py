@@ -98,6 +98,33 @@ class CachedFeatureDataset:
         return sample
 
 
+def prefetch(iterator, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue — overlaps
+    host-side batch assembly (decode/stack) with device compute, the
+    TPU-host analog of the reference's pinned-memory prefetching DataLoader
+    workers (SURVEY.md §2.8-3)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    seed: int = 0, drop_last: bool = True):
     """Simple epoch iterator yielding stacked numpy batches in the train-step

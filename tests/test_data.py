@@ -98,6 +98,12 @@ def test_cached_dataset_npz_roundtrip(tmp_path):
     assert b["expert_features"]["nafnet"].shape == (2, 8, 8, 64)
 
 
+def test_prefetch_preserves_order_and_count():
+    from freqfusion_tpu.data.cached import prefetch
+    items = list(prefetch(iter(range(17)), depth=3))
+    assert items == list(range(17))
+
+
 def test_cached_dataset_reads_reference_pt_format(tmp_path):
     torch = pytest.importorskip("torch")
     rng = np.random.default_rng(0)

@@ -169,8 +169,9 @@ def train(cfg: dict):
                                  out_shardings=(repl, repl))
 
         n_images = 0
-        for batch in batch_iterator(train_ds, batch_size, shuffle=True,
-                                    seed=cfg["seed"] + epoch):
+        from freqfusion_tpu.data.cached import prefetch
+        for batch in prefetch(batch_iterator(train_ds, batch_size, shuffle=True,
+                                             seed=cfg["seed"] + epoch)):
             batch = jax.device_put(batch, data_sh)
             drng = jax.device_put(
                 jax.random.PRNGKey(rng.integers(2**31)), repl)
