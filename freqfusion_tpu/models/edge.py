@@ -40,9 +40,9 @@ def gaussian_blur(x: jnp.ndarray, size: int = 5, sigma: float = 1.5) -> jnp.ndar
 
 
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.reduce_window(
-        x, jnp.zeros((), x.dtype), jax.lax.add,
-        (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+    """2×2 stride-2 average pool as a reshape-mean (differentiable, fused)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
 
 
 class SpatialEdgeAttention(nn.Module):

@@ -74,6 +74,49 @@ def make_train_step(model: FusionHead, criterion: CombinedLoss, tx):
     return step
 
 
+def init_live_train_state(model, tx, rng, sample_batch) -> TrainState:
+    """Live-expert mode: model is FreqFusionSR; only fusion params train."""
+    variables = model.init(rng, sample_batch["lr"], with_features=True)
+    return TrainState(variables["params"], variables.get("batch_stats", {}),
+                      tx.init(variables["params"]), jnp.asarray(0))
+
+
+def make_live_train_step(model, criterion: CombinedLoss, tx):
+    """Train step for live mode (frozen experts inside the jitted program;
+    stop_gradient keeps their grads exactly zero, and AdamW with zero grads
+    and zero weight-decay... note: weight decay WOULD decay frozen experts,
+    so expert grads are masked out of the update entirely)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        sr, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["lr"], True, True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        sr = jnp.clip(sr, 0.0, 1.0)
+        total, components = criterion(sr, batch["hr"])
+        return total, (components, updates["batch_stats"])
+
+    def step(state: TrainState, batch, rng):
+        (loss, (components, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        # zero expert updates explicitly (frozen, reference enhanced_fusion.py:137)
+        grads = dict(grads)
+        if "experts" in grads:
+            grads["experts"] = jax.tree_util.tree_map(
+                jnp.zeros_like, grads["experts"])
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = dict(updates)
+        if "experts" in updates:
+            updates["experts"] = jax.tree_util.tree_map(
+                jnp.zeros_like, updates["experts"])
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(components)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
+
+    return step
+
+
 def make_eval_step(model: FusionHead):
     def step(state: TrainState, batch):
         sr = model.apply(

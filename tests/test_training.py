@@ -133,6 +133,37 @@ def test_train_step_sharded_on_mesh():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_live_train_step_freezes_experts():
+    from freqfusion_tpu.models.experts import FreqFusionSR
+    from freqfusion_tpu.training.steps import (
+        init_live_train_state, make_live_train_step)
+
+    tiny = dict(
+        hat_kwargs=dict(embed_dim=24, depths=(1,), num_heads=(2,), window=4,
+                        squeeze=6),
+        dat_kwargs=dict(embed_dim=32, depths=(1,), num_heads=(2,),
+                        split_size=(2, 4), expansion=2.0),
+        nafnet_kwargs=dict(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+                           dec_blk_nums=(1, 1)))
+    model = FreqFusionSR(FusionConfig(fusion_dim=16, num_heads=2,
+                                      refine_depth=2, refine_channels=8), **tiny)
+    criterion = CombinedLoss({"l1": 1.0, "charbonnier": 0, "l2": 0, "vgg": 0,
+                              "swt": 0, "fft": 0, "edge": 0, "ssim": 0})
+    tx = make_optimizer(lambda _: 1e-2)
+    rng = np.random.default_rng(0)
+    batch = {"lr": jnp.asarray(rng.uniform(size=(1, 8, 8, 3)), jnp.float32),
+             "hr": jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)}
+    state = init_live_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    before = jax.tree_util.tree_map(np.asarray, state.params["experts"])
+    step = jax.jit(make_live_train_step(model, criterion, tx))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    after = state.params["experts"]
+    for b, a in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
 def test_eval_step():
     model = _tiny_model()
     tx = make_optimizer(lambda _: 1e-3)

@@ -87,11 +87,9 @@ def train(cfg: dict):
     rng = np.random.default_rng(cfg["seed"])
 
     # ---- data -----------------------------------------------------------
-    if not cfg["data"]["cached"]:
-        raise NotImplementedError(
-            "live-expert training arrives with converted expert checkpoints; "
-            "run scripts/extract_features.py and use cached mode (the "
-            "reference's production path)")
+    live_mode = not cfg["data"]["cached"]
+    if live_mode:
+        return train_live(cfg, log)
     train_ds = CachedFeatureDataset(cfg["data"]["cached_train_dir"],
                                     augment=True, seed=cfg["seed"])
     val_ds = CachedFeatureDataset(cfg["data"]["cached_val_dir"], augment=False)
@@ -235,6 +233,90 @@ def train(cfg: dict):
     metrics_log.close()
     log.info(f"done; best PSNR {ckpt.best_value()}")
     return ckpt.best_value()
+
+
+def train_live(cfg: dict, log):
+    """Live-expert training (reference train.py:640-659, 715-801): the frozen
+    experts run inside the jitted step; ~10–20× slower than cached mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from freqfusion_tpu.data.augment import TrainAugmentation
+    from freqfusion_tpu.data.dataset import SRDataset, find_split_dirs
+    from freqfusion_tpu.infer.io import _load_expert_params
+    from freqfusion_tpu.losses import CombinedLoss
+    from freqfusion_tpu.models.experts import FreqFusionSR
+    from freqfusion_tpu.training.checkpoint import CheckpointManager
+    from freqfusion_tpu.training.schedule import (
+        MultiStageLossScheduler, warmup_then_cosine_restarts)
+    from freqfusion_tpu.training.steps import (
+        TrainState, init_live_train_state, make_live_train_step, make_optimizer)
+
+    import numpy as np
+
+    lr_dir, hr_dir = find_split_dirs(cfg["data"]["root"], "train",
+                                     cfg["data"]["scale"])
+    ds = SRDataset(lr_dir, hr_dir, cfg["data"]["lr_patch"],
+                   cfg["data"]["scale"], repeat=cfg["data"]["repeat"],
+                   augment=TrainAugmentation(cfg["data"]["lr_patch"],
+                                             cfg["data"]["scale"],
+                                             seed=cfg["seed"]))
+    log.info(f"live mode: {len(ds)} samples (frozen experts in-graph)")
+
+    expert_kwargs = cfg["model"].get("expert_kwargs") or {}
+    model = FreqFusionSR(build_model(cfg).cfg, **expert_kwargs)
+    model_dir = cfg.get("model_dir", "model_zoo/team29")
+    batch_size = cfg["data"]["batch_size"]
+    steps_per_epoch = max(len(ds) // batch_size, 1)
+    opt_cfg = cfg["optim"]
+    schedule = warmup_then_cosine_restarts(
+        opt_cfg["lr"], opt_cfg["warmup_epochs"] * steps_per_epoch,
+        opt_cfg["t0_epochs"] * steps_per_epoch, opt_cfg["t_mult"])
+    tx = make_optimizer(schedule, opt_cfg["weight_decay"],
+                        opt_cfg["grad_clip"], opt_cfg["accumulation_steps"])
+    stages = MultiStageLossScheduler(cfg["loss"]["stages"])
+    criterion = CombinedLoss(stages.weights_for_epoch(0),
+                             swt_wavelet=cfg["loss"]["swt_wavelet"],
+                             swt_level=cfg["loss"]["swt_level"])
+
+    def make_batch(indices):
+        items = [ds[int(i)] for i in indices]
+        return {"lr": jnp.asarray(np.stack([it["lr"] for it in items])),
+                "hr": jnp.asarray(np.stack([it["hr"] for it in items]))}
+
+    rng = np.random.default_rng(cfg["seed"])
+    sample = make_batch(range(batch_size))
+    state = init_live_train_state(model, tx, jax.random.PRNGKey(cfg["seed"]),
+                                  sample)
+    # converted expert checkpoints replace the random-initialized experts
+    params = dict(state.params)
+    vars_np = {"params": jax.device_get(params)}
+    vars_np = _load_expert_params(vars_np, model_dir)
+    state = state._replace(params=jax.tree_util.tree_map(
+        jnp.asarray, vars_np["params"]))
+
+    ckpt = CheckpointManager(cfg["train"]["checkpoint_dir"],
+                             max_best=cfg["train"]["max_best"],
+                             save_every=cfg["train"]["save_every"])
+    step_fn = jax.jit(make_live_train_step(model, criterion, tx))
+    for epoch in range(cfg["train"]["epochs"]):
+        criterion.set_weights(stages.weights_for_epoch(epoch))
+        order = rng.permutation(len(ds))
+        losses = []
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            batch = make_batch(order[i:i + batch_size])
+            state, metrics = step_fn(state, batch,
+                                     jax.random.PRNGKey(int(rng.integers(2**31))))
+            losses.append(float(metrics["total"]))
+        log.info(f"live epoch {epoch}: loss {np.mean(losses):.4f}")
+        if ckpt.should_save(epoch):
+            ckpt.save_checkpoint(epoch, {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": int(state.step), "ema_state": {}},
+                {"psnr": 0.0})
+    return None
 
 
 def main():
