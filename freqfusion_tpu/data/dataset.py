@@ -110,6 +110,31 @@ class SRDataset:
         return {"lr": lr, "hr": hr, "name": self.pairs[base][1].stem}
 
 
+def create_dataloaders(root, scale: int = 4, lr_patch: int = 64,
+                       batch_size: int = 14, repeat: int = 1, seed: int = 0,
+                       val_max_lr_size: int = 128):
+    """Loader factory (reference create_dataloaders, dataset.py:509-599):
+    returns (train_dataset, val_dataset, train_iter_fn) with layout
+    autodetection for both splits. `train_iter_fn(epoch)` yields stacked
+    {lr, hr} numpy batches, reshuffled per epoch."""
+    import numpy as np
+
+    tr_lr, tr_hr = find_split_dirs(root, "train", scale)
+    va_lr, va_hr = find_split_dirs(root, "val", scale)
+    train_ds = SRDataset(tr_lr, tr_hr, lr_patch, scale, repeat=repeat, seed=seed)
+    val_ds = ValidationDataset(va_lr, va_hr, scale, val_max_lr_size)
+
+    def train_iter(epoch: int = 0):
+        rng = np.random.default_rng(seed + epoch)
+        order = rng.permutation(len(train_ds))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            items = [train_ds[int(j)] for j in order[i:i + batch_size]]
+            yield {"lr": np.stack([it["lr"] for it in items]),
+                   "hr": np.stack([it["hr"] for it in items])}
+
+    return train_ds, val_ds, train_iter
+
+
 class ValidationDataset:
     """Full-image validation pairs, LR clamped to `max_lr_size` (the
     reference resizes at 512 HR, dataset.py:438-506). Center-crops HR to

@@ -57,6 +57,25 @@ class MetricsLogger:
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
 
+    def histograms(self, tree, step: int, prefix: str = "grads/",
+                   max_leaves: int = 16):
+        """Gradient histograms per top-level module (logger.py grad-hist
+        equivalent). Logs the largest `max_leaves` groups to bound cost."""
+        if self._tb is None:
+            return
+        try:
+            from flax import traverse_util
+            groups = {}
+            for path, leaf in traverse_util.flatten_dict(tree).items():
+                groups.setdefault(path[0], []).append(np.asarray(leaf).ravel())
+            items = sorted(groups.items(),
+                           key=lambda kv: -sum(a.size for a in kv[1]))
+            for name, arrs in items[:max_leaves]:
+                self._tb.add_histogram(prefix + str(name),
+                                       np.concatenate(arrs), step)
+        except Exception:
+            pass  # observability must never break training
+
     def images(self, tag: str, lr: np.ndarray, sr: np.ndarray, hr: np.ndarray,
                step: int, max_side: int = 256):
         """LR|SR|HR comparison strip (logger.py:111 equivalent)."""

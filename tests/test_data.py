@@ -59,6 +59,19 @@ def test_validation_dataset_resizes(tmp_path):
     assert item["hr"].shape[0] == item["lr"].shape[0] * 4
 
 
+def test_create_dataloaders_factory(tmp_path):
+    from freqfusion_tpu.data.dataset import create_dataloaders
+    _write_pairs(tmp_path, n=4, lr_size=16)
+    _write_pairs(tmp_path, n=2, lr_size=16, lr_dir="val_LR", hr_dir="val_HR")
+    train_ds, val_ds, train_iter = create_dataloaders(
+        tmp_path, lr_patch=8, batch_size=2)
+    assert len(train_ds) == 4 and len(val_ds) == 2
+    batches = list(train_iter(0))
+    assert len(batches) == 2
+    assert batches[0]["lr"].shape == (2, 8, 8, 3)
+    assert batches[0]["hr"].shape == (2, 32, 32, 3)
+
+
 def test_paired_crop_alignment():
     rng = np.random.default_rng(0)
     hr = np.arange(64 * 64 * 3, dtype=np.float32).reshape(64, 64, 3)

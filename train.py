@@ -184,6 +184,9 @@ def train(cfg: dict):
                     prefix="train/")
                 metrics_log.scalars(
                     {"lr": float(schedule(global_step))}, global_step, "opt/")
+            if global_step % (cfg["train"]["print_freq"] * 10) == 0:
+                metrics_log.histograms(jax.device_get(state.params),
+                                       global_step, prefix="params/")
 
         log.info(progress.epoch_summary(epoch, n_images))
 
