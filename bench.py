@@ -66,7 +66,8 @@ def main():
     fwd = jax.jit(_fwd)
 
     def forward_batch(tiles):
-        return np.asarray(fwd(variables, jnp.asarray(tiles)))
+        # async dispatch — the tiling driver materializes after pipelining
+        return fwd(variables, jnp.asarray(tiles))
 
     rng = np.random.default_rng(0)
     lr = rng.uniform(size=(LR_H, LR_W, 3)).astype(np.float32)

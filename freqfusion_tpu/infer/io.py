@@ -150,11 +150,13 @@ class InferencePipeline:
         else:
             self._fwd = jax.jit(fwd)
 
-    def forward_batch(self, tiles: np.ndarray) -> np.ndarray:
+    def forward_batch(self, tiles: np.ndarray):
+        """Returns the (asynchronously dispatched) device array — the tiling
+        driver materializes it after submitting the next chunk."""
         tiles = jnp.asarray(tiles)
         if self.mesh is not None:
             tiles = jax.device_put(tiles, self._data_sh)
-        return np.asarray(self._fwd(self.variables, tiles))
+        return self._fwd(self.variables, tiles)
 
     def run_image(self, lr: np.ndarray) -> np.ndarray:
         return tiled_sr(lr, self.forward_batch, self.tile, self.overlap,

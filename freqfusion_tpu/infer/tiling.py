@@ -90,15 +90,25 @@ def tiled_sr(
             out[ys_hr:ys_hr + t_hr, xs_hr:xs_hr + t_hr] += sr_tile * wmap
             acc[ys_hr:ys_hr + t_hr, xs_hr:xs_hr + t_hr] += wmap
 
-    for i in range(0, len(coords), batch):
-        chunk = coords[i:i + batch]
+    # double-buffered dispatch: submit chunk i+1 to the device before
+    # stitching chunk i on the host, overlapping transfer/compute with the
+    # (C++) accumulate pass
+    def make_tiles(chunk):
         tiles = np.stack([lr[y:y + tile, x:x + tile] for (y, x) in chunk])
         if len(chunk) < batch:  # pad the last chunk to the static batch shape
             tiles = np.concatenate(
                 [tiles, np.repeat(tiles[-1:], batch - len(chunk), axis=0)])
-        sr_tiles = np.asarray(forward_batch(tiles))
+        return tiles
+
+    chunks = [coords[i:i + batch] for i in range(0, len(coords), batch)]
+    pending = forward_batch(make_tiles(chunks[0])) if chunks else None
+    for ci, chunk in enumerate(chunks):
+        nxt = (forward_batch(make_tiles(chunks[ci + 1]))
+               if ci + 1 < len(chunks) else None)
+        sr_tiles = np.asarray(pending)
         for j, (y, x) in enumerate(chunk):
             accumulate(sr_tiles[j], y, x)
+        pending = nxt
 
     if lib is not None:
         import ctypes
