@@ -28,8 +28,8 @@ A100_EST_HR_MPS = 5.3   # analytic estimate, see module docstring
 TARGET_MULT = 5.0
 N_CHIPS_TARGET = 8
 
-TILE = 128
-OVERLAP = 32
+TILE = int(os.environ.get("FREQFUSION_TILE", "128"))
+OVERLAP = int(os.environ.get("FREQFUSION_OVERLAP", "32"))
 TILE_BATCH = int(os.environ.get("FREQFUSION_TILE_BATCH", "4"))
 DTYPE = os.environ.get("FREQFUSION_BENCH_DTYPE", "float32")  # or "bfloat16"
 USE_PALLAS = os.environ.get("FREQFUSION_USE_PALLAS", "0") == "1"
