@@ -28,9 +28,11 @@ A100_EST_HR_MPS = 5.3   # analytic estimate, see module docstring
 TARGET_MULT = 5.0
 N_CHIPS_TARGET = 8
 
-TILE = int(os.environ.get("FREQFUSION_TILE", "128"))
+# tile 192 / batch 2 measured best on v5e (PERF.md): the 128-tile grid
+# recomputes 1.89× the image's pixels in overlaps, 192 only 1.28×
+TILE = int(os.environ.get("FREQFUSION_TILE", "192"))
 OVERLAP = int(os.environ.get("FREQFUSION_OVERLAP", "32"))
-TILE_BATCH = int(os.environ.get("FREQFUSION_TILE_BATCH", "4"))
+TILE_BATCH = int(os.environ.get("FREQFUSION_TILE_BATCH", "2"))
 DTYPE = os.environ.get("FREQFUSION_BENCH_DTYPE", "float32")  # or "bfloat16"
 USE_PALLAS = os.environ.get("FREQFUSION_USE_PALLAS", "0") == "1"
 LR_H, LR_W = 339, 510   # DIV2K ×4 LR size for a 2040×1356 HR image

@@ -38,9 +38,11 @@ from .tiling import tiled_sr
 # the hardcoded inference config (reference io.py:40-58)
 MODEL_CONFIG = FusionConfig()
 
-TILE = 128
+# tile 192 minimizes overlap recompute on DIV2K-sized images (PERF.md);
+# the reference's fallback tiling used 128/32 (io.py:226)
+TILE = 192
 OVERLAP = 32
-TILE_BATCH = 1
+TILE_BATCH = 2
 
 
 def _find(model_dir: str, patterns) -> Optional[str]:
