@@ -40,8 +40,10 @@ from .fusion_blocks import (
     CollaborativeFeatureLearning,
     CrossBandAttention,
     DynamicExpertSelector,
+    FrequencyRouter,
     MultiScaleFeatureExtractor,
 )
+from .fusion_variants import MultiResolutionFusion
 from .hierarchical import HierarchicalFusion
 from .layers import gelu
 from .lka import EnhancedCollaborativeWithLKA, EnhancedCrossBandWithLKA
@@ -175,9 +177,25 @@ class FusionHead(nn.Module):
                     num_experts=cfg.num_experts, feature_dim=cfg.fusion_dim * 2,
                     num_heads=cfg.num_heads * 2)
 
+        # Phase 5: hierarchical → standard multi-res → flat router fusion
+        # (enhanced_fusion.py:243-260 / :545-586).
         if cfg.enable_hierarchical:
             self.multi_res_fusion = HierarchicalFusion(
                 num_experts=cfg.num_experts, base_channels=cfg.fusion_dim)
+        elif cfg.enable_multi_resolution:
+            self.multi_res_fusion = MultiResolutionFusion(
+                num_experts=cfg.num_experts, base_channels=cfg.fusion_dim)
+        else:
+            self.freq_router = FrequencyRouter(
+                num_experts=cfg.num_experts, num_bands=cfg.num_bands)
+
+        # Always-created learnable weights (enhanced_fusion.py:258-261);
+        # only the flat-router branch consumes them.
+        self.expert_weights = self.param(
+            "expert_weights", nn.initializers.ones,
+            (cfg.num_experts, cfg.num_bands))
+        self.band_importance = self.param(
+            "band_importance", nn.initializers.ones, (cfg.num_bands,))
 
         self.multiscale = MultiScaleFeatureExtractor(out_channels=cfg.fusion_dim)
         if cfg.enable_dynamic_selection:
@@ -231,12 +249,31 @@ class FusionHead(nn.Module):
         guidance = jnp.concatenate(
             [mags[2] / freq_sum, mags[1] / freq_sum, mags[0] / freq_sum], axis=-1)
 
-        fused = self.multi_res_fusion(
-            {n: expert_outputs[n] for n in EXPERT_ORDER[: cfg.num_experts]})
         guidance_hr = resize(guidance, h_hr, w_hr, "bilinear")
         stack = jnp.stack(expert_list, axis=-2)  # [B,H,W,E,3]
         freq_weighted = jnp.sum(stack * guidance_hr[..., None], axis=-2)
-        fused = fused * 0.7 + freq_weighted * 0.3
+
+        if cfg.enable_hierarchical:
+            fused = self.multi_res_fusion(
+                {n: expert_outputs[n] for n in EXPERT_ORDER[: cfg.num_experts]})
+            fused = fused * 0.7 + freq_weighted * 0.3
+        elif cfg.enable_multi_resolution:
+            # Baseline 64/128/256 fusion (enhanced_fusion.py:558-568).
+            fused = self.multi_res_fusion(lr, expert_list)
+            fused = fused * 0.7 + freq_weighted * 0.3
+        else:
+            # Flat router fusion (enhanced_fusion.py:570-586). The reference
+            # feeds `ms_features` into a router built for 3 input channels —
+            # a crash in torch; we route from the LR image, which is what the
+            # router was constructed for (fusion_network.py:409-419).
+            routing = self.freq_router(lr, train)  # [B,H,W,E,bands]
+            weighted = routing * self.expert_weights[None, None, None]
+            band_w = jax.nn.softmax(self.band_importance)
+            weighted = weighted * band_w[None, None, None, None]
+            agg = jnp.sum(weighted, axis=-1)  # [B,H,W,E]
+            agg = agg / (jnp.sum(agg, axis=-1, keepdims=True) + 1e-8)
+            agg_hr = resize(agg, h_hr, w_hr, "bilinear")
+            fused = jnp.sum(stack * agg_hr[..., None], axis=-2)
 
         if cfg.enable_dynamic_selection:
             routing = self.multiscale(lr, train)

@@ -89,12 +89,13 @@ class MultiResolutionFusion(nn.Module):
         target_size = target_size or hs
 
         def router(t, name):
-            g = nn.Conv(self.base_channels, (3, 3), name=f"{name}_conv1")(t)
-            g = nn.Conv(self.num_experts, (1, 1), name=f"{name}_conv2")(jax.nn.relu(g))
+            # names follow the torch Sequential indices (fusion_64.0 / .2)
+            g = nn.Conv(self.base_channels, (3, 3), name=f"{name}_0")(t)
+            g = nn.Conv(self.num_experts, (1, 1), name=f"{name}_2")(jax.nn.relu(g))
             return jax.nn.softmax(g, axis=-1)  # over experts
 
-        def fuse_at(size, name, experts):
-            lr_s = resize(lr, size, size, "bilinear")
+        def fuse_at(size_h, size_w, name, experts):
+            lr_s = resize(lr, size_h, size_w, "bilinear")
             wts = router(lr_s, name)
             return jnp.sum(experts * wts[..., None], axis=-2)
 
@@ -104,19 +105,19 @@ class MultiResolutionFusion(nn.Module):
             return resize(flat, size, size, "bilinear").reshape(
                 b, size, size, self.num_experts, 3)
 
-        fused_64 = fuse_at(64, "fusion_64", down_experts(64))
-        up = jax.nn.relu(nn.Conv(3, (3, 3), name="up_64_128")(
+        fused_64 = fuse_at(64, 64, "fusion_64", down_experts(64))
+        up = jax.nn.relu(nn.Conv(3, (3, 3), name="up_64_128_1")(
             resize(fused_64, 128, 128, "bilinear")))
-        fused_128 = fuse_at(128, "fusion_128", down_experts(128)) + up * 0.3
-        up = jax.nn.relu(nn.Conv(3, (3, 3), name="up_128_256")(
+        fused_128 = fuse_at(128, 128, "fusion_128", down_experts(128)) + up * 0.3
+        up = jax.nn.relu(nn.Conv(3, (3, 3), name="up_128_256_1")(
             resize(fused_128, hs, ws, "bilinear")))
-        fused = fuse_at(hs, "fusion_256", stack)
+        fused = fuse_at(hs, ws, "fusion_256", stack)
         # the 256 router runs at the experts' native size; blend progressive
         fused = fused + resize(up, hs, ws, "bilinear") * 0.3 if up.shape[1] != hs \
             else fused + up * 0.3
 
-        r = nn.Conv(32, (3, 3), name="refine_conv1")(fused)
-        r = nn.Conv(3, (3, 3), name="refine_conv2")(jax.nn.relu(r))
+        r = nn.Conv(32, (3, 3), name="refine_0")(fused)
+        r = nn.Conv(3, (3, 3), name="refine_2")(jax.nn.relu(r))
         fused = fused + r * 0.1
         if fused.shape[1] != target_size:
             fused = resize(fused, target_size, target_size, "bilinear")
