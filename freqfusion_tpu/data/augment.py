@@ -122,6 +122,29 @@ class TrainAugmentation:
         return lr, hr
 
 
+class CenterCrop:
+    """Deterministic paired center crop — fixed-shape live-mode validation
+    (the TPU static-shape analog of the reference's full-image validation
+    with max-size clamp, dataset.py:438-506). Images smaller than the patch
+    are reflect-padded first."""
+
+    def __init__(self, lr_patch: int = 64, scale: int = 4):
+        self.lr_patch, self.scale = lr_patch, scale
+
+    def __call__(self, lr: np.ndarray, hr: np.ndarray):
+        p, s = self.lr_patch, self.scale
+        pad_h = max(p - lr.shape[0], 0)
+        pad_w = max(p - lr.shape[1], 0)
+        if pad_h or pad_w:
+            lr = np.pad(lr, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
+            hr = np.pad(hr, ((0, pad_h * s), (0, pad_w * s), (0, 0)),
+                        mode="reflect")
+        y = (lr.shape[0] - p) // 2
+        x = (lr.shape[1] - p) // 2
+        return (lr[y:y + p, x:x + p],
+                hr[y * s:(y + p) * s, x * s:(x + p) * s])
+
+
 class FrequencyAugmentation:
     """Train-time random per-band DCT coefficient scaling
     (frequency_decomposition.py:549-616): with probability `prob`, the 8×8

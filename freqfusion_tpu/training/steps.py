@@ -74,6 +74,29 @@ def make_train_step(model: FusionHead, criterion: CombinedLoss, tx):
     return step
 
 
+def make_frozen_expert_optimizer(lr_schedule, weight_decay: float = 1e-4,
+                                 clip_norm: float = 1.0, accum_steps: int = 1):
+    """Live-mode optimizer: the 'experts' params subtree is frozen with
+    optax.set_to_zero (no AdamW moments are ever allocated for the ~100M
+    frozen expert params — the reference freezes with requires_grad=False,
+    expert_loader.py:371-377), everything else gets the standard chain."""
+    inner = optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(lr_schedule, b1=0.9, b2=0.999, weight_decay=weight_decay),
+    )
+
+    def labels(params):
+        return {k: jax.tree_util.tree_map(
+                    lambda _: "freeze" if k == "experts" else "train", v)
+                for k, v in params.items()}
+
+    tx = optax.multi_transform({"train": inner, "freeze": optax.set_to_zero()},
+                               labels)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
 def init_live_train_state(model, tx, rng, sample_batch) -> TrainState:
     """Live-expert mode: model is FreqFusionSR; only fusion params train."""
     variables = model.init(rng, sample_batch["lr"], with_features=True)
@@ -113,6 +136,20 @@ def make_live_train_step(model, criterion: CombinedLoss, tx):
         metrics = dict(components)
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
+
+    return step
+
+
+def make_live_eval_step(model):
+    """Eval step for live mode (FreqFusionSR: experts in-graph, no features,
+    train=False — mirrors the reference's validate_epoch live forward,
+    train.py:413-523)."""
+
+    def step(state: TrainState, batch):
+        sr = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["lr"])
+        return jnp.clip(sr, 0.0, 1.0)
 
     return step
 

@@ -239,21 +239,31 @@ def train(cfg: dict):
 
 
 def train_live(cfg: dict, log):
-    """Live-expert training (reference train.py:640-659, 715-801): the frozen
-    experts run inside the jitted step; ~10–20× slower than cached mode."""
+    """Live-expert training at full reference parity (train.py:413-523,
+    640-659, 715-801, 908-974): frozen experts in-graph, EMA over the
+    trainable fusion subtree, per-epoch validation (PSNR/SSIM, Y, border 4)
+    on fixed-shape center crops, best-K checkpoints with resume, prefetch,
+    and mesh data-parallel sharding. ~10–20× slower than cached mode."""
     import jax
     import jax.numpy as jnp
 
-    from freqfusion_tpu.data.augment import TrainAugmentation
+    from freqfusion_tpu.data.augment import CenterCrop, TrainAugmentation
+    from freqfusion_tpu.data.cached import prefetch
     from freqfusion_tpu.data.dataset import SRDataset, find_split_dirs
     from freqfusion_tpu.infer.io import _load_expert_params
     from freqfusion_tpu.losses import CombinedLoss
     from freqfusion_tpu.models.experts import FreqFusionSR
+    from freqfusion_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated_sharding)
     from freqfusion_tpu.training.checkpoint import CheckpointManager
+    from freqfusion_tpu.training.ema import EMA
     from freqfusion_tpu.training.schedule import (
         MultiStageLossScheduler, warmup_then_cosine_restarts)
     from freqfusion_tpu.training.steps import (
-        TrainState, init_live_train_state, make_live_train_step, make_optimizer)
+        TrainState, init_live_train_state, make_frozen_expert_optimizer,
+        make_live_eval_step, make_live_train_step)
+    from freqfusion_tpu.utils.logger import MetricsLogger, ProgressLogger
+    from freqfusion_tpu.utils.metrics import MetricCalculator
 
     import numpy as np
 
@@ -264,7 +274,18 @@ def train_live(cfg: dict, log):
                    augment=TrainAugmentation(cfg["data"]["lr_patch"],
                                              cfg["data"]["scale"],
                                              seed=cfg["seed"]))
-    log.info(f"live mode: {len(ds)} samples (frozen experts in-graph)")
+    try:
+        va_lr, va_hr = find_split_dirs(cfg["data"]["root"], "val",
+                                       cfg["data"]["scale"])
+        val_ds = SRDataset(va_lr, va_hr, cfg["data"]["lr_patch"],
+                           cfg["data"]["scale"],
+                           augment=CenterCrop(cfg["data"]["lr_patch"],
+                                              cfg["data"]["scale"]))
+    except FileNotFoundError:
+        val_ds = None
+    log.info(f"live mode: {len(ds)} train samples, "
+             f"{len(val_ds) if val_ds else 0} val samples "
+             "(frozen experts in-graph)")
 
     expert_kwargs = cfg["model"].get("expert_kwargs") or {}
     model = FreqFusionSR(build_model(cfg).cfg, **expert_kwargs)
@@ -275,51 +296,139 @@ def train_live(cfg: dict, log):
     schedule = warmup_then_cosine_restarts(
         opt_cfg["lr"], opt_cfg["warmup_epochs"] * steps_per_epoch,
         opt_cfg["t0_epochs"] * steps_per_epoch, opt_cfg["t_mult"])
-    tx = make_optimizer(schedule, opt_cfg["weight_decay"],
-                        opt_cfg["grad_clip"], opt_cfg["accumulation_steps"])
+    tx = make_frozen_expert_optimizer(schedule, opt_cfg["weight_decay"],
+                                      opt_cfg["grad_clip"],
+                                      opt_cfg["accumulation_steps"])
     stages = MultiStageLossScheduler(cfg["loss"]["stages"])
     criterion = CombinedLoss(stages.weights_for_epoch(0),
                              swt_wavelet=cfg["loss"]["swt_wavelet"],
                              swt_level=cfg["loss"]["swt_level"])
 
-    def make_batch(indices):
-        items = [ds[int(i)] for i in indices]
-        return {"lr": jnp.asarray(np.stack([it["lr"] for it in items])),
-                "hr": jnp.asarray(np.stack([it["hr"] for it in items]))}
+    def batch_iter(dataset, epoch, shuffle=True):
+        brng = np.random.default_rng(cfg["seed"] + epoch)
+        order = brng.permutation(len(dataset)) if shuffle \
+            else np.arange(len(dataset))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            items = [dataset[int(j)] for j in order[i:i + batch_size]]
+            yield {"lr": np.stack([it["lr"] for it in items]),
+                   "hr": np.stack([it["hr"] for it in items])}
 
     rng = np.random.default_rng(cfg["seed"])
-    sample = make_batch(range(batch_size))
+    sample = next(batch_iter(ds, 0, shuffle=False))
     state = init_live_train_state(model, tx, jax.random.PRNGKey(cfg["seed"]),
                                   sample)
     # converted expert checkpoints replace the random-initialized experts
-    params = dict(state.params)
-    vars_np = {"params": jax.device_get(params)}
+    vars_np = {"params": jax.device_get(dict(state.params))}
     vars_np = _load_expert_params(vars_np, model_dir)
     state = state._replace(params=jax.tree_util.tree_map(
         jnp.asarray, vars_np["params"]))
 
+    mesh = make_mesh(cfg["parallel"]["n_devices"])
+    repl, data_sh = replicated_sharding(mesh), batch_sharding(mesh)
+    state = jax.device_put(state, repl)
+    # EMA shadows only the trainable fusion subtree (the frozen experts never
+    # move); mirrors the reference's EMA over head params (train.py:908-912)
+    ema = (EMA(state.params["fusion"], cfg["ema"]["decay"])
+           if cfg["ema"]["enabled"] else None)
+
     ckpt = CheckpointManager(cfg["train"]["checkpoint_dir"],
                              max_best=cfg["train"]["max_best"],
                              save_every=cfg["train"]["save_every"])
-    step_fn = jax.jit(make_live_train_step(model, criterion, tx))
-    for epoch in range(cfg["train"]["epochs"]):
-        criterion.set_weights(stages.weights_for_epoch(epoch))
-        order = rng.permutation(len(ds))
-        losses = []
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            batch = make_batch(order[i:i + batch_size])
-            state, metrics = step_fn(state, batch,
-                                     jax.random.PRNGKey(int(rng.integers(2**31))))
-            losses.append(float(metrics["total"]))
-        log.info(f"live epoch {epoch}: loss {np.mean(losses):.4f}")
-        if ckpt.should_save(epoch):
+    metrics_log = MetricsLogger(cfg["train"]["log_dir"])
+
+    start_epoch = 0
+    resumed = ckpt.load()
+    if resumed is not None:
+        from flax import serialization
+        params = dict(jax.device_get(state.params))
+        params["fusion"] = resumed["params"]["fusion"] \
+            if "fusion" in resumed["params"] else resumed["params"]
+        opt_state = serialization.from_state_dict(
+            jax.device_get(state.opt_state), resumed["opt_state"])
+        state = jax.device_put(TrainState(
+            jax.tree_util.tree_map(jnp.asarray, params),
+            jax.tree_util.tree_map(jnp.asarray, resumed["batch_stats"]),
+            jax.tree_util.tree_map(jnp.asarray, opt_state),
+            jnp.asarray(resumed.get("step", 0))), repl)
+        if ema and resumed.get("ema_state"):
+            ema.load_state_dict(resumed["ema_state"])
+        start_epoch = int(resumed["epoch"]) + 1
+        log.info(f"resumed live training from epoch {resumed['epoch']} "
+                 f"(best {ckpt.best_value()})")
+
+    eval_step = jax.jit(make_live_eval_step(model))
+    train_step = None
+    current_stage = None
+    progress = ProgressLogger(cfg["train"]["epochs"])
+    global_step = int(state.step)
+
+    for epoch in range(start_epoch, cfg["train"]["epochs"]):
+        stage_idx = stages.stage_index(epoch)
+        if stage_idx != current_stage:
+            current_stage = stage_idx
+            criterion.set_weights(stages.weights_for_epoch(epoch))
+            log.info("loss " + stages.describe(epoch))
+            train_step = jax.jit(make_live_train_step(model, criterion, tx),
+                                 in_shardings=(repl, data_sh, repl),
+                                 out_shardings=(repl, repl))
+
+        n_images = 0
+        for batch in prefetch(batch_iter(ds, epoch)):
+            batch = jax.device_put(batch, data_sh)
+            drng = jax.device_put(
+                jax.random.PRNGKey(int(rng.integers(2**31))), repl)
+            state, metrics = train_step(state, batch, drng)
+            if ema:
+                ema.update(state.params["fusion"])
+            global_step += 1
+            n_images += batch_size
+            if global_step % cfg["train"]["print_freq"] == 0:
+                metrics_log.scalars(
+                    {k: float(v) for k, v in metrics.items()}, global_step,
+                    prefix="train/")
+                metrics_log.scalars(
+                    {"lr": float(schedule(global_step))}, global_step, "opt/")
+        log.info(progress.epoch_summary(epoch, n_images))
+
+        do_val = (val_ds is not None
+                  and epoch >= cfg["train"]["validate_start"]
+                  and epoch % cfg["train"]["validate_every"] == 0)
+        val_metrics = {}
+        if do_val:
+            if ema:
+                params = dict(state.params)
+                params["fusion"] = ema.apply(state.params["fusion"])
+                eval_state = state._replace(params=params)
+            else:
+                eval_state = state
+            calc = MetricCalculator(crop_border=4, y_channel=True)
+            for batch in batch_iter(val_ds, 0, shuffle=False):
+                sr = np.asarray(eval_step(eval_state,
+                                          jax.device_put(batch, data_sh)))
+                calc.update(sr, batch["hr"])
+            if ema:
+                ema.restore()
+            val_metrics = calc.compute()
+            metrics_log.scalars({"psnr": val_metrics["psnr"],
+                                 "ssim": val_metrics["ssim"]}, epoch, "val/")
+            log.info(f"  val: PSNR {val_metrics['psnr']:.3f} dB, "
+                     f"SSIM {val_metrics['ssim']:.4f}")
+
+        is_best = bool(val_metrics) and ckpt.is_best(val_metrics["psnr"])
+        if is_best or ckpt.should_save(epoch):
+            # only the trainable head + stats are checkpointed (~12 MB, the
+            # reference fusion-ckpt schema); experts reload from model_zoo
             ckpt.save_checkpoint(epoch, {
-                "params": jax.device_get(state.params),
+                "params": {"fusion": jax.device_get(state.params["fusion"])},
                 "batch_stats": jax.device_get(state.batch_stats),
                 "opt_state": jax.device_get(state.opt_state),
-                "step": int(state.step), "ema_state": {}},
-                {"psnr": 0.0})
-    return None
+                "step": int(state.step),
+                "ema_state": ema.state_dict() if ema else {}},
+                val_metrics or {"psnr": 0.0}, is_best)
+
+    metrics_log.close()
+    log.info(f"live done; best PSNR {ckpt.best_value()}")
+    return ckpt.best_value()
 
 
 def main():
