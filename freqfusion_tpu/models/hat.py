@@ -26,6 +26,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import windows as W
 from ..ops.common import pixel_shuffle
@@ -76,31 +77,53 @@ class CAB(nn.Module):
 
 
 class WindowAttention(nn.Module):
-    """W-MSA over ws×ws windows with a learned relative-position bias table."""
+    """W-MSA over ws×ws windows with a learned relative-position bias table.
+
+    Takes the full (pre-rolled) image [B,H,W,C]; window partition/merge live
+    inside so the fused Pallas path (ops/pallas/wattn.py) can replace the
+    whole partition→qkv→MHA→proj→merge chain with one VMEM-resident kernel.
+    Raw qkv/proj params (not nn.Dense) so both paths share them.
+    """
 
     dim: int
     window: int
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x_windows, mask=None):
-        # x_windows: [B*nW, N, C]
-        bw, n, c = x_windows.shape
+    def __call__(self, x_img, mask=None):  # [B,H,W,C]
+        b, h, w, c = x_img.shape
+        n = self.window * self.window
         hd = c // self.num_heads
-        qkv = nn.Dense(3 * c, name="qkv")(x_windows)
-        qkv = qkv.reshape(bw, n, 3, self.num_heads, hd)
-        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
-
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k,
-                          preferred_element_type=jnp.float32)
+        wqkv = self.param("qkv_kernel", nn.initializers.lecun_normal(),
+                          (c, 3 * c))
+        bqkv = self.param("qkv_bias", nn.initializers.zeros, (3 * c,))
+        wproj = self.param("proj_kernel", nn.initializers.lecun_normal(),
+                           (c, c))
+        bproj = self.param("proj_bias", nn.initializers.zeros, (c,))
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window - 1) ** 2, self.num_heads))
         rpi = W.relative_position_index(self.window, self.window).reshape(-1)
-        bias = table[rpi].reshape(n, n, self.num_heads)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+        bias = jnp.transpose(table[rpi].reshape(n, n, self.num_heads),
+                             (2, 0, 1))  # [heads, N, N]
 
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from ..ops.pallas.wattn import fused_window_attention
+            return fused_window_attention(
+                x_img, wqkv, bqkv, wproj, bproj, bias,
+                np.asarray(mask) if mask is not None else None,
+                (self.window, self.window), self.num_heads)
+
+        x = W.window_partition(x_img, self.window, self.window)  # [B*nW,N,C]
+        bw = x.shape[0]
+        qkv = (x @ wqkv + bqkv).reshape(bw, n, 3, self.num_heads, hd)
+        q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        attn = attn + bias[None]
         if mask is not None:
             nw = mask.shape[0]
             attn = attn.reshape(bw // nw, nw, self.num_heads, n, n) + mask[None, :, None]
@@ -108,8 +131,9 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                          preferred_element_type=jnp.float32)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, n, c)
-        return nn.Dense(c, name="proj")(out)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, n, c).astype(x.dtype)
+        out = out @ wproj + bproj
+        return W.window_reverse(out, self.window, self.window, h, w)
 
 
 class HAB(nn.Module):
@@ -123,6 +147,7 @@ class HAB(nn.Module):
     squeeze: int
     conv_scale: float
     mlp_ratio: float
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):  # [B,H,W,C]
@@ -134,13 +159,13 @@ class HAB(nn.Module):
 
         if self.shift > 0:
             shifted = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
-            mask = jnp.asarray(W.shift_attn_mask(h, w, self.window, self.window,
-                                                 self.shift, self.shift))
+            # numpy constant (trace-time); both attention paths consume it
+            mask = W.shift_attn_mask(h, w, self.window, self.window,
+                                     self.shift, self.shift)
         else:
             shifted, mask = x, None
-        wins = W.window_partition(shifted, self.window, self.window)
-        wins = WindowAttention(c, self.window, self.num_heads, name="attn")(wins, mask)
-        shifted = W.window_reverse(wins, self.window, self.window, h, w)
+        shifted = WindowAttention(c, self.window, self.num_heads,
+                                  self.use_pallas, name="attn")(shifted, mask)
         attn_x = (jnp.roll(shifted, (self.shift, self.shift), axis=(1, 2))
                   if self.shift > 0 else shifted)
 
@@ -213,6 +238,7 @@ class RHAG(nn.Module):
     conv_scale: float
     overlap_ratio: float
     mlp_ratio: float
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -221,7 +247,7 @@ class RHAG(nn.Module):
             x = HAB(self.dim, self.num_heads, self.window,
                     0 if i % 2 == 0 else self.window // 2,
                     self.compress, self.squeeze, self.conv_scale,
-                    self.mlp_ratio, name=f"blocks_{i}")(x)
+                    self.mlp_ratio, self.use_pallas, name=f"blocks_{i}")(x)
         x = OCAB(self.dim, self.window, self.overlap_ratio, self.num_heads,
                  self.mlp_ratio, name="overlap_attn")(x)
         x = nn.Conv(self.dim, (3, 3), name="conv")(x)
@@ -248,6 +274,7 @@ class HAT(nn.Module):
     mlp_ratio: float = 2.0
     num_feat: int = 64
     img_range: float = 1.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -259,7 +286,7 @@ class HAT(nn.Module):
         for i, d in enumerate(self.depths):
             feat = RHAG(self.embed_dim, d, self.num_heads[i], self.window,
                         self.compress, self.squeeze, self.conv_scale,
-                        self.overlap_ratio, self.mlp_ratio,
+                        self.overlap_ratio, self.mlp_ratio, self.use_pallas,
                         name=f"layers_{i}")(feat)
         feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
         deep = nn.Conv(self.embed_dim, (3, 3), name="conv_after_body")(feat)

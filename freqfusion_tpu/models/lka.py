@@ -128,6 +128,15 @@ class EnhancedCrossBandWithLKA(nn.Module):
         lka_block = LKABlock(self.dim, self.lka_kernel,
                              use_pallas=self.use_pallas, name="lka_block")
         out_proj = nn.Conv(3, (1, 1), name="out_proj")
+        if not train:
+            # eval: fold bands into the batch — one LKA/out_proj call at 9×
+            # the batch instead of 9 sequential C-dim calls (identical math:
+            # BN is a fixed affine in eval; weights are shared across bands)
+            b, h, w, nb, d = attn.shape
+            flat = jnp.transpose(attn, (3, 0, 1, 2, 4)).reshape(nb * b, h, w, d)
+            feats = out_proj(lka_block(flat, train))
+            feats = feats.reshape(nb, b, h, w, 3)
+            return [feats[i] + band for i, band in enumerate(bands)]
         outs = []
         for i, band in enumerate(bands):
             feat = lka_block(attn[..., i, :], train)
@@ -180,10 +189,20 @@ class EnhancedCollaborativeWithLKA(nn.Module):
 
         lka = LKABlock(self.feature_dim, self.lka_kernel,
                        use_pallas=self.use_pallas, name="lka_global")
+        if not train:
+            # eval: one batched LKA over the expert dim (BN is a fixed
+            # affine in eval, weights shared → identical math, 3× batch)
+            b, h, w, e, d = stacked.shape
+            flat = jnp.transpose(stacked, (3, 0, 1, 2, 4)).reshape(e * b, h, w, d)
+            lka_all = lka(flat, train).reshape(e, b, h, w, d)
+            feats = [lka_all[i] for i in range(e)]
+        else:
+            feats = [lka(stacked[..., i, :], train)
+                     for i in range(len(expert_outputs))]
         h_sr, w_sr = expert_outputs[0].shape[1], expert_outputs[0].shape[2]
         outs = []
         for i, out in enumerate(expert_outputs):
-            feat = lka(stacked[..., i, :], train)
+            feat = feats[i]
             feat_hr = resize(feat, h_sr, w_sr, "bilinear")
             m = nn.Conv(self.feature_dim // 4, (1, 1), name=f"mod_{i}_fc1")(feat_hr)
             m = jnp.mean(gelu(m), axis=(1, 2), keepdims=True)

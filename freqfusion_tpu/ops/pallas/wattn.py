@@ -1,0 +1,176 @@
+"""Fused window multi-head attention Pallas kernel (HAT W-MSA/SW-MSA and
+DAT rectangular windows share this inner loop).
+
+Why a kernel: the measured XLA chain for one HAT-L W-MSA at 192²/batch-2 is
+~7.5 ms f32, of which ~5 ms is window partition/reverse/roll data movement
+(scripts/profile_tpu.py probes) — HBM-traffic bound, not FLOP bound. This
+kernel reads the (rolled) feature image once, computes qkv → +rel-pos-bias
+(+shift mask) → softmax → PV → output projection entirely in VMEM, and
+writes the attended image once.
+
+Blocking: programs own a *vertical stack* of `gh` windows — block
+[1, gh·wsh, wsw, C] flattens row-major to [gh·N, C] with each window's N
+tokens contiguous in the sublane dim, so per-window work needs only static
+sublane slices. Weights/bias use constant index maps (fetched once, resident
+across the grid).
+
+Head alignment: HAT-L's head_dim is 30 (embed 180 / 6 heads) — off the lane
+grid. `_align_heads` re-packs the qkv output columns / proj input rows into
+32-wide zero-padded head slots at trace time (zero dims contribute nothing
+to QKᵀ or PV, so the math is bit-identical) giving 32-aligned in-kernel lane
+slices without touching stored checkpoints.
+
+MXU ops run in the input dtype with f32 accumulation (bf16-native under the
+production bf16 bench mode); softmax and bias/mask adds stay f32.
+
+Replaces the reference's window attention inner loops
+(/root/reference/src/models/hat/hat_arch.py:129-196,
+ /root/reference/src/models/dat/dat_arch.py:177-342).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_gh(n_win_rows: int, max_gh: int = 4) -> int:
+    for g in (max_gh, 4, 2, 1):
+        if g <= max_gh and n_win_rows % g == 0 and g <= n_win_rows:
+            return g
+    return 1
+
+
+def _align_heads(wqkv, bqkv, wproj, num_heads, hd, hdp):
+    """Re-pack heads into hdp-wide zero-padded slots (math-identical):
+    pure pad+reshape — the target column order (section, head, slot) is
+    exactly the row-major layout of [3, nh, hdp]."""
+    c = wqkv.shape[0]
+    pad = hdp - hd
+    wqkv_p = jnp.pad(wqkv.reshape(c, 3, num_heads, hd),
+                     ((0, 0), (0, 0), (0, 0), (0, pad)))
+    bqkv_p = jnp.pad(bqkv.reshape(3, num_heads, hd),
+                     ((0, 0), (0, 0), (0, pad)))
+    wproj_p = jnp.pad(wproj.reshape(num_heads, hd, -1),
+                      ((0, 0), (0, pad), (0, 0)))
+    return (wqkv_p.reshape(c, 3 * num_heads * hdp),
+            bqkv_p.reshape(3 * num_heads * hdp),
+            wproj_p.reshape(num_heads * hdp, -1))
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+            *rest, wsh: int, wsw: int, num_heads: int, head_dim: int,
+            gh: int, has_mask: bool):
+    if has_mask:
+        mask_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    n = wsh * wsw
+    c = x_ref.shape[-1]
+    cp = wproj_ref.shape[0]          # padded attention width (nh·hdp)
+    hdp = cp // num_heads
+    dt = x_ref.dtype
+    xb = x_ref[0].reshape(gh * n, c)
+    qkv = jnp.dot(xb, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(dt)
+    scale = jnp.asarray(head_dim ** -0.5, dt)
+
+    for g in range(gh):
+        head_outs = []
+        for h in range(num_heads):
+            q = qkv[g * n:(g + 1) * n, h * hdp:(h + 1) * hdp]
+            k = qkv[g * n:(g + 1) * n, cp + h * hdp:cp + (h + 1) * hdp]
+            v = qkv[g * n:(g + 1) * n, 2 * cp + h * hdp:2 * cp + (h + 1) * hdp]
+            a = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            a = a + bias_ref[h]
+            if has_mask:
+                a = a + mask_ref[0, 0, g]
+            a = jax.nn.softmax(a, axis=-1).astype(dt)
+            head_outs.append(jnp.dot(a, v, preferred_element_type=jnp.float32)
+                             .astype(dt))
+        wout = jnp.concatenate(head_outs, axis=-1)  # [N, cp]
+        pr = jnp.dot(wout, wproj_ref[:], preferred_element_type=jnp.float32)
+        pr = pr + bproj_ref[0]
+        o_ref[0, g * wsh:(g + 1) * wsh, :, :] = (
+            pr.reshape(wsh, wsw, c).astype(o_ref.dtype))
+
+
+def fused_window_attention(
+    x: jnp.ndarray,                 # [B, H, W, C] (already shift-rolled)
+    wqkv: jnp.ndarray,              # [C, 3C]
+    bqkv: jnp.ndarray,              # [3C]
+    wproj: jnp.ndarray,             # [C, C]
+    bproj: jnp.ndarray,             # [C]
+    bias: jnp.ndarray,              # [num_heads, N, N] rel-pos bias
+    mask: Optional[np.ndarray],     # [nW, N, N] shift mask or None
+    window: Tuple[int, int],
+    num_heads: int,
+    max_gh: int = 4,
+    align: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused (S)W-MSA pass; returns the attended image [B, H, W, C]."""
+    b, h, w, c = x.shape
+    wsh, wsw = window
+    assert h % wsh == 0 and w % wsw == 0, (h, w, window)
+    n = wsh * wsw
+    hd = c // num_heads
+    n_wr, n_wc = h // wsh, w // wsw
+    gh = _pick_gh(n_wr, max_gh)
+
+    hdp = -(-hd // align) * align if align else hd
+    if hdp != hd:
+        wqkv, bqkv, wproj = _align_heads(wqkv, bqkv, wproj, num_heads, hd, hdp)
+    cp = num_heads * hdp
+
+    grid = (b, n_wr // gh, n_wc)
+    const = lambda *shape: (lambda bi, i, j: tuple(0 for _ in shape))
+    in_specs = [
+        pl.BlockSpec((1, gh * wsh, wsw, c), lambda bi, i, j: (bi, i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 3 * cp), const(0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * cp), const(0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cp, c), const(0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), const(0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, n, n), const(0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, wqkv, bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
+            bias.astype(jnp.float32)]
+
+    has_mask = mask is not None
+    if has_mask:
+        # regroup [nW, N, N] → [nWr/gh, nWc, gh, N, N] so one program's gh
+        # vertically-stacked windows form one contiguous block
+        m = np.asarray(mask).reshape(n_wr, n_wc, n, n)
+        m = m.reshape(n_wr // gh, gh, n_wc, n, n).transpose(0, 2, 1, 3, 4)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, gh, n, n), lambda bi, i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(m, jnp.float32))
+
+    kernel = functools.partial(
+        _kernel, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
+        gh=gh, has_mask=has_mask)
+    flops_per = 2 * gh * n * c * 4 * cp + 2 * gh * num_heads * n * n * hdp * 2
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, gh * wsh, wsw, c),
+                               lambda bi, i, j: (bi, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * int(np.prod(grid)),
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=int(np.prod(grid)) * gh * num_heads * n * n),
+        interpret=interpret,
+    )(*args)

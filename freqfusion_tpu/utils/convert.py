@@ -53,7 +53,9 @@ def _adapt(torch_arr: np.ndarray, flax_shape: Tuple[int, ...],
     expert_weights [E,bands]) must pass through untouched.
     """
     a = np.asarray(torch_arr)
-    transposable = leaf in ("kernel", "in_proj_weight")
+    # "*_kernel" covers raw-param attention weights (hat.WindowAttention)
+    transposable = (leaf in ("kernel", "in_proj_weight")
+                    or leaf.endswith("_kernel"))
     if a.ndim == 4 and len(flax_shape) == 4 and transposable:
         a = np.transpose(a, (2, 3, 1, 0))  # OIHW → HWIO
     elif (a.ndim == 2 and len(flax_shape) == 2 and transposable
@@ -365,4 +367,8 @@ def hat_key_fn(path: Tuple[str, ...]) -> str:
             toks.extend([base, str(idx)])
         else:
             toks.append(p)
-    return ".".join(toks + [_LEAF[parts[-1]]])
+    leaf = parts[-1]
+    if leaf in ("qkv_kernel", "qkv_bias", "proj_kernel", "proj_bias"):
+        mod, kind = leaf.rsplit("_", 1)
+        return ".".join(toks + [mod, {"kernel": "weight", "bias": "bias"}[kind]])
+    return ".".join(toks + [_LEAF[leaf]])

@@ -1,0 +1,91 @@
+"""Fused window-attention kernel: interpret-mode exactness vs the XLA path
+(same params, same inputs — the kernel must be a drop-in replacement)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from freqfusion_tpu.models.hat import WindowAttention
+from freqfusion_tpu.ops import windows as W
+from freqfusion_tpu.ops.pallas.wattn import fused_window_attention
+
+
+def _params(rng, c, nh, window):
+    k = iter(jax.random.split(jax.random.PRNGKey(rng), 6))
+    return dict(
+        wqkv=jax.random.normal(next(k), (c, 3 * c)) * 0.05,
+        bqkv=jax.random.normal(next(k), (3 * c,)) * 0.02,
+        wproj=jax.random.normal(next(k), (c, c)) * 0.05,
+        bproj=jax.random.normal(next(k), (c,)) * 0.02,
+        bias=jax.random.normal(next(k), (nh, window * window, window * window)) * 0.1,
+    )
+
+
+def _xla_reference(x, p, window, nh, mask=None):
+    b, h, w, c = x.shape
+    n = window * window
+    hd = c // nh
+    xw = W.window_partition(x, window, window)
+    bw = xw.shape[0]
+    qkv = (xw @ p["wqkv"] + p["bqkv"]).reshape(bw, n, 3, nh, hd)
+    q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k)
+    attn = attn + p["bias"][None]
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(bw // nw, nw, nh, n, n) + mask[None, :, None]
+        attn = attn.reshape(bw, nh, n, n)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(bw, n, c)
+    out = out @ p["wproj"] + p["bproj"]
+    return W.window_reverse(out, window, window, h, w)
+
+
+def _run_case(b, h, w, c, nh, window, with_mask, seed=0):
+    x = jax.random.normal(jax.random.PRNGKey(seed), (b, h, w, c)) * 0.3
+    p = _params(seed + 1, c, nh, window)
+    mask = None
+    if with_mask:
+        mask = W.shift_attn_mask(h, w, window, window, window // 2, window // 2)
+    want = _xla_reference(x, p, window, nh,
+                          jnp.asarray(mask) if mask is not None else None)
+    got = fused_window_attention(
+        x, p["wqkv"], p["bqkv"], p["wproj"], p["bproj"], p["bias"], mask,
+        (window, window), nh, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_matches_xla_no_mask():
+    _run_case(2, 16, 24, 36, 6, 8, with_mask=False)
+
+
+def test_fused_matches_xla_with_shift_mask():
+    _run_case(1, 32, 16, 24, 4, 8, with_mask=True, seed=3)
+
+
+def test_fused_matches_xla_gh_grouping():
+    # H/ws = 4 rows of windows → gh=4 grouping exercised
+    _run_case(1, 32, 8, 16, 2, 8, with_mask=False, seed=5)
+
+
+def test_hat_window_attention_module_consistency():
+    """The module's two paths share params; check the XLA path after the
+    raw-param restructure still matches a hand-built reference."""
+    c, nh, window = 30, 6, 4
+    m = WindowAttention(c, window, nh)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, c)) * 0.3
+    params = m.init(jax.random.PRNGKey(1), x)
+    got = m.apply(params, x)
+    p = params["params"]
+    n = window * window
+    rpi = W.relative_position_index(window, window).reshape(-1)
+    bias = jnp.transpose(
+        p["relative_position_bias_table"][rpi].reshape(n, n, nh), (2, 0, 1))
+    want = _xla_reference(
+        x, dict(wqkv=p["qkv_kernel"], bqkv=p["qkv_bias"],
+                wproj=p["proj_kernel"], bproj=p["proj_bias"], bias=bias),
+        window, nh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
