@@ -91,12 +91,25 @@ class SpatialWindowAttention(nn.Module):
     num_heads: int
     hs: int
     ws: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, mask=None):
         b, h, w, c = q.shape
         hd = c // self.num_heads
         n = self.hs * self.ws
+
+        pos = DynamicPosBias(self.dim // 4, self.num_heads, name="pos")(
+            jnp.asarray(W.relative_coords_table(self.hs, self.ws)))
+        rpi = W.relative_position_index(self.hs, self.ws).reshape(-1)
+        bias = jnp.transpose(pos[rpi].reshape(n, n, self.num_heads),
+                             (2, 0, 1))  # [heads, N, N]
+
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from ..ops.pallas.wattn import fused_window_attention_qkv
+            return fused_window_attention_qkv(
+                q, k, v, bias, np.asarray(mask) if mask is not None else None,
+                (self.hs, self.ws), self.num_heads)
 
         def to_wins(t):
             t = W.window_partition(t, self.hs, self.ws)  # [B*nW, N, C]
@@ -107,12 +120,7 @@ class SpatialWindowAttention(nn.Module):
         scale = hd ** -0.5
         attn = jnp.einsum("bhnd,bhmd->bhnm", qw * scale, kw,
                           preferred_element_type=jnp.float32)
-
-        pos = DynamicPosBias(self.dim // 4, self.num_heads, name="pos")(
-            jnp.asarray(W.relative_coords_table(self.hs, self.ws)))
-        rpi = W.relative_position_index(self.hs, self.ws).reshape(-1)
-        bias = pos[rpi].reshape(n, n, self.num_heads)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+        attn = attn + bias[None]
 
         if mask is not None:
             nw = mask.shape[0]
@@ -180,6 +188,7 @@ class AdaptiveSpatialAttention(nn.Module):
     shift_size: Sequence[int]
     rg_idx: int
     b_idx: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):  # [B,H,W,C]
@@ -209,8 +218,10 @@ class AdaptiveSpatialAttention(nn.Module):
             if shift:
                 qb, kb, vb = (jnp.roll(t, (-sh, -sw), axis=(1, 2))
                               for t in (qb, kb, vb))
-                mask = jnp.asarray(W.shift_attn_mask(_h, _w, hs, ws, sh, sw))
+                # numpy constant; both attention paths consume it
+                mask = W.shift_attn_mask(_h, _w, hs, ws, sh, sw)
             o = SpatialWindowAttention(half, self.num_heads // 2, hs, ws,
+                                       self.use_pallas,
                                        name=f"attns_{br}")(qb, kb, vb, mask)
             if shift:
                 o = jnp.roll(o, (sh, sw), axis=(1, 2))
@@ -289,6 +300,7 @@ class DATB(nn.Module):
     expansion: float
     rg_idx: int
     b_idx: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -297,7 +309,7 @@ class DATB(nn.Module):
             shift = [self.split_size[0] // 2, self.split_size[1] // 2]
             h = AdaptiveSpatialAttention(
                 self.dim, self.num_heads, self.split_size, shift,
-                self.rg_idx, self.b_idx, name="attn")(h)
+                self.rg_idx, self.b_idx, self.use_pallas, name="attn")(h)
         else:
             h = AdaptiveChannelAttention(self.dim, self.num_heads, name="attn")(h)
         x = x + h
@@ -313,13 +325,14 @@ class ResidualGroup(nn.Module):
     split_size: Sequence[int]
     expansion: float
     rg_idx: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         res = x
         for j in range(self.depth):
             x = DATB(self.dim, self.num_heads, self.split_size, self.expansion,
-                     self.rg_idx, j, name=f"blocks_{j}")(x)
+                     self.rg_idx, j, self.use_pallas, name=f"blocks_{j}")(x)
         x = nn.Conv(self.dim, (3, 3), name="conv")(x)
         return res + x
 
@@ -336,6 +349,7 @@ class DAT(nn.Module):
     expansion: float = 4.0
     num_feat: int = 64
     img_range: float = 1.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -347,7 +361,7 @@ class DAT(nn.Module):
         for i, d in enumerate(self.depths):
             feat = ResidualGroup(self.embed_dim, d, self.num_heads[i],
                                  self.split_size, self.expansion, i,
-                                 name=f"layers_{i}")(feat)
+                                 self.use_pallas, name=f"layers_{i}")(feat)
         feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
         deep = nn.Conv(self.embed_dim, (3, 3), name="conv_after_body")(feat)
         x = deep + x

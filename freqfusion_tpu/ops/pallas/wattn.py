@@ -102,6 +102,97 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
             pr.reshape(wsh, wsw, c).astype(o_ref.dtype))
 
 
+def _kernel_qkv(q_ref, k_ref, v_ref, bias_ref, *rest, wsh: int, wsw: int,
+                num_heads: int, head_dim: int, gh: int, has_mask: bool):
+    """Pre-projected q/k/v images (DAT rect-window branches: the qkv Dense
+    and the output proj live outside because AIM consumes v / the branch
+    concat, dat_arch.py:409-424)."""
+    if has_mask:
+        mask_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    n = wsh * wsw
+    c = q_ref.shape[-1]
+    dt = q_ref.dtype
+    qb = q_ref[0].reshape(gh * n, c)
+    kb = k_ref[0].reshape(gh * n, c)
+    vb = v_ref[0].reshape(gh * n, c)
+    scale = jnp.asarray(head_dim ** -0.5, dt)
+
+    for g in range(gh):
+        head_outs = []
+        for h in range(num_heads):
+            rows = slice(g * n, (g + 1) * n)
+            cols = slice(h * head_dim, (h + 1) * head_dim)
+            a = jax.lax.dot_general(qb[rows, cols] * scale, kb[rows, cols],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            a = a + bias_ref[h]
+            if has_mask:
+                a = a + mask_ref[0, 0, g]
+            a = jax.nn.softmax(a, axis=-1).astype(dt)
+            head_outs.append(
+                jnp.dot(a, vb[rows, cols], preferred_element_type=jnp.float32)
+                .astype(dt))
+        wout = jnp.concatenate(head_outs, axis=-1)  # [N, C]
+        o_ref[0, g * wsh:(g + 1) * wsh, :, :] = (
+            wout.reshape(wsh, wsw, c).astype(o_ref.dtype))
+
+
+def fused_window_attention_qkv(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,  # [B, H, W, C] each
+    bias: jnp.ndarray,              # [num_heads, N, N] (may be traced)
+    mask: Optional[np.ndarray],     # [nW, N, N] shift mask or None
+    window: Tuple[int, int],
+    num_heads: int,
+    max_gh: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused MHA over pre-projected rect windows; returns [B, H, W, C]."""
+    b, h, w, c = q.shape
+    wsh, wsw = window
+    assert h % wsh == 0 and w % wsw == 0, (h, w, window)
+    n = wsh * wsw
+    hd = c // num_heads
+    n_wr, n_wc = h // wsh, w // wsw
+    gh = _pick_gh(n_wr, max_gh)
+
+    grid = (b, n_wr // gh, n_wc)
+    img_spec = pl.BlockSpec((1, gh * wsh, wsw, c),
+                            lambda bi, i, j: (bi, i, j, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [img_spec, img_spec, img_spec,
+                pl.BlockSpec((num_heads, n, n),
+                             lambda bi, i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [q, k, v, bias.astype(jnp.float32)]
+
+    has_mask = mask is not None
+    if has_mask:
+        m = np.asarray(mask).reshape(n_wr, n_wc, n, n)
+        m = m.reshape(n_wr // gh, gh, n_wc, n, n).transpose(0, 2, 1, 3, 4)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, gh, n, n), lambda bi, i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(m, jnp.float32))
+
+    kernel = functools.partial(
+        _kernel_qkv, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
+        gh=gh, has_mask=has_mask)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=img_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(np.prod(grid)) * 2 * gh * num_heads * n * n * hd * 2,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=int(np.prod(grid)) * gh * num_heads * n * n),
+        interpret=interpret,
+    )(*args)
+
+
 def fused_window_attention(
     x: jnp.ndarray,                 # [B, H, W, C] (already shift-rolled)
     wqkv: jnp.ndarray,              # [C, 3C]

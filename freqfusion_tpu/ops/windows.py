@@ -64,20 +64,24 @@ def extract_overlapping_windows(x: jnp.ndarray, win: int, overlap: int) -> jnp.n
 
     TPU-native replacement for the reference OCAB's `nn.Unfold(kernel=ows,
     stride=win, pad=(ows-win)/2)` (hat_arch.py:377,408-410): zero-pad by
-    overlap/2 per side, then gather rows/cols with static index tables —
-    two gathers instead of an identity-kernel convolution.  Window ordering
-    is row-major and the per-window layout is [owh, oww, C], identical to the
-    reference's rearrange to '(owh oww) ch'.
+    overlap/2 per side, then assemble each in-window offset r as ONE strided
+    slice `xp[:, r::win][:nh]` — 2·ows static strided slices total, no
+    gather ops (XLA gathers on this backend are pathologically slow; the
+    round-1 `jnp.take` version cost ~45 ms per OCAB call).  Window ordering
+    is row-major and the per-window layout is [owh, oww, C], identical to
+    the reference's rearrange to '(owh oww) ch'.
     """
     b, h, w, c = x.shape
     ows = win + overlap
     p = overlap // 2
     xp = jnp.pad(x, [(0, 0), (p, p), (p, p), (0, 0)])
     nh, nw = h // win, w // win
-    ridx = (np.arange(nh)[:, None] * win + np.arange(ows)[None, :]).reshape(-1)
-    cidx = (np.arange(nw)[:, None] * win + np.arange(ows)[None, :]).reshape(-1)
-    xr = jnp.take(xp, jnp.asarray(ridx), axis=1).reshape(b, nh, ows, w + 2 * p, c)
-    xc = jnp.take(xr, jnp.asarray(cidx), axis=3).reshape(b, nh, ows, nw, ows, c)
+    # rows: stack offset-r strided views → [B, nh, ows, Wp, C]
+    span_h = win * (nh - 1) + 1
+    xr = jnp.stack([xp[:, r:r + span_h:win] for r in range(ows)], axis=2)
+    # cols: same along W → [B, nh, ows, nw, ows, C]
+    span_w = win * (nw - 1) + 1
+    xc = jnp.stack([xr[:, :, :, s:s + span_w:win] for s in range(ows)], axis=4)
     xc = jnp.transpose(xc, (0, 1, 3, 2, 4, 5))  # [B, nh, nw, owh, oww, C]
     return xc.reshape(b * nh * nw, ows * ows, c)
 

@@ -70,6 +70,39 @@ def test_fused_matches_xla_gh_grouping():
     _run_case(1, 32, 8, 16, 2, 8, with_mask=False, seed=5)
 
 
+def test_fused_qkv_variant_matches_xla_rect_windows():
+    """DAT-style pre-projected q/k/v with rectangular (2,8)/(8,2) windows."""
+    from freqfusion_tpu.ops.pallas.wattn import fused_window_attention_qkv
+
+    b, h, w, c, nh = 1, 16, 16, 12, 2
+    for wsh, wsw in ((2, 8), (8, 2)):
+        n = wsh * wsw
+        keys = jax.random.split(jax.random.PRNGKey(wsh), 4)
+        q, k, v = (jax.random.normal(keys[i], (b, h, w, c)) * 0.3
+                   for i in range(3))
+        bias = jax.random.normal(keys[3], (nh, n, n)) * 0.1
+        mask = W.shift_attn_mask(h, w, wsh, wsw, wsh // 2, wsw // 2)
+
+        # XLA reference (mirrors dat.SpatialWindowAttention inner math)
+        hd = c // nh
+        def to_wins(t):
+            t = W.window_partition(t, wsh, wsw)
+            return jnp.transpose(t.reshape(-1, n, nh, hd), (0, 2, 1, 3))
+        qw, kw, vw = to_wins(q), to_wins(k), to_wins(v)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qw * (hd ** -0.5), kw) + bias[None]
+        nw = mask.shape[0]
+        attn = attn.reshape(b, nw, nh, n, n) + jnp.asarray(mask)[None, :, None]
+        attn = jax.nn.softmax(attn.reshape(-1, nh, n, n), axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vw)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, n, c)
+        want = W.window_reverse(out, wsh, wsw, h, w)
+
+        got = fused_window_attention_qkv(q, k, v, bias, mask, (wsh, wsw), nh,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_hat_window_attention_module_consistency():
     """The module's two paths share params; check the XLA path after the
     raw-param restructure still matches a hand-built reference."""
