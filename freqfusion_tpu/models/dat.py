@@ -101,9 +101,8 @@ class SpatialWindowAttention(nn.Module):
 
         pos = DynamicPosBias(self.dim // 4, self.num_heads, name="pos")(
             jnp.asarray(W.relative_coords_table(self.hs, self.ws)))
-        rpi = W.relative_position_index(self.hs, self.ws).reshape(-1)
-        bias = jnp.transpose(pos[rpi].reshape(n, n, self.num_heads),
-                             (2, 0, 1))  # [heads, N, N]
+        # gather-free Toeplitz construction (ops/windows.py)
+        bias = W.swin_bias_from_table(pos, self.hs, self.ws)
 
         if self.use_pallas and jax.default_backend() == "tpu":
             from ..ops.pallas.wattn import fused_window_attention_qkv

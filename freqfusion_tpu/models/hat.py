@@ -105,9 +105,9 @@ class WindowAttention(nn.Module):
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window - 1) ** 2, self.num_heads))
-        rpi = W.relative_position_index(self.window, self.window).reshape(-1)
-        bias = jnp.transpose(table[rpi].reshape(n, n, self.num_heads),
-                             (2, 0, 1))  # [heads, N, N]
+        # gather-free Toeplitz construction (XLA gathers are pathologically
+        # slow on this backend — ops/windows.py swin_bias_from_table)
+        bias = W.swin_bias_from_table(table, self.window, self.window)
 
         if self.use_pallas and jax.default_backend() == "tpu":
             from ..ops.pallas.wattn import fused_window_attention
@@ -211,9 +211,7 @@ class OCAB(nn.Module):
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((ws + ows - 1) ** 2, self.num_heads))
-        rpi = W.oca_relative_position_index(ws, ows).reshape(-1)
-        bias = table[rpi].reshape(ws * ws, ows * ows, self.num_heads)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+        attn = attn + W.oca_bias_from_table(table, ws, ows)[None]
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, heads(vw),
                          preferred_element_type=jnp.float32)

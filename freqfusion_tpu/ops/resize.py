@@ -76,10 +76,31 @@ def _plan(in_size: int, out_size: int, method: str):
     return idx, w.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _plan_matrix(in_size: int, out_size: int, method: str) -> np.ndarray:
+    """The resample plan as a dense [in, out] matrix (4-taps-sparse rows)."""
+    idx, w = _plan(in_size, out_size, method)
+    m = np.zeros((in_size, out_size), np.float32)
+    for k in range(idx.shape[1]):
+        np.add.at(m, (idx[:, k], np.arange(out_size)), w[:, k])
+    return m
+
+
+# Above this many matrix elements fall back to the tap-gather form (never
+# hit by tile-sized images; guards pathological host-side giant resizes).
+_MATMUL_LIMIT = 32 * 1024 * 1024
+
+
 def _resample_axis(x: jnp.ndarray, axis: int, out_size: int, method: str) -> jnp.ndarray:
     in_size = x.shape[axis]
     if in_size == out_size and method != "nearest":
         return x
+    if in_size * out_size <= _MATMUL_LIMIT:
+        # contraction against a constant [in, out] matrix: XLA gathers are
+        # pathologically slow on this TPU backend, the MXU is not
+        m = jnp.asarray(_plan_matrix(in_size, out_size, method), x.dtype)
+        y = jnp.tensordot(x, m, axes=[[axis], [0]])
+        return jnp.moveaxis(y, -1, axis)
     idx, w = _plan(in_size, out_size, method)
     taps = idx.shape[1]
     wshape = [1] * x.ndim

@@ -86,6 +86,48 @@ def extract_overlapping_windows(x: jnp.ndarray, win: int, overlap: int) -> jnp.n
     return xc.reshape(b * nh * nw, ows * ows, c)
 
 
+def swin_bias_from_table(table: jnp.ndarray, hs: int, ws: int) -> jnp.ndarray:
+    """[(2hs-1)(2ws-1), nh] bias table → [nh, hs·ws, hs·ws] bias matrix,
+    built from static slices + flips instead of `table[rpi]`.
+
+    XLA gathers are pathologically slow on this TPU backend (~5 ms for the
+    65k-element window-bias gather — 72 of them accounted for most of
+    HAT-L's device time in round 1). The relative-position structure is a
+    2-D Toeplitz pattern: reshape the table to its (2hs-1)×(2ws-1) offset
+    image, then each query row/col is a reversed contiguous slice.
+    """
+    nh = table.shape[-1]
+    img = table.reshape(2 * hs - 1, 2 * ws - 1, nh)
+    # bias[q, k] = img[qy-ky+hs-1, qx-kx+ws-1]
+    rows = jnp.stack([jnp.flip(img[qy:qy + hs], 0) for qy in range(hs)], 0)
+    full = jnp.stack([jnp.flip(rows[:, :, qx:qx + ws], 2)
+                      for qx in range(ws)], 1)
+    n = hs * ws
+    return jnp.transpose(full.reshape(hs, ws, hs, ws, nh)
+                         .reshape(n, n, nh), (2, 0, 1))
+
+
+def oca_bias_from_table(table: jnp.ndarray, ws: int, wse: int) -> jnp.ndarray:
+    """[(ws+wse-1)², nh] OCAB bias table → [nh, ws², wse²], gather-free.
+
+    The OCA index is (ky-qy+ws-wse+1) mod D per axis (D = ws+wse-1; the
+    reference's construction wraps negatives, bijectively since the offset
+    range spans exactly D integers) — a roll by wse-2 linearizes it into
+    ascending contiguous slices.
+    """
+    d = ws + wse - 1
+    nh = table.shape[-1]
+    # the wrap is on the FLAT index (bijective: the offset range spans
+    # exactly d² integers), so linearize with a flat roll, then reshape
+    img = jnp.roll(table, (wse - 2) * (d + 1), axis=0).reshape(d, d, nh)
+    rows = jnp.stack([img[ws - 1 - qy:ws - 1 - qy + wse]
+                      for qy in range(ws)], 0)
+    full = jnp.stack([rows[:, :, ws - 1 - qx:ws - 1 - qx + wse]
+                      for qx in range(ws)], 1)
+    return jnp.transpose(full.reshape(ws, ws, wse, wse, nh)
+                         .reshape(ws * ws, wse * wse, nh), (2, 0, 1))
+
+
 @functools.lru_cache(maxsize=None)
 def oca_relative_position_index(ws: int, wse: int) -> np.ndarray:
     """OCAB relative position index, [ws², wse²] int32: query coords in the
