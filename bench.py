@@ -34,7 +34,9 @@ TILE = int(os.environ.get("FREQFUSION_TILE", "192"))
 OVERLAP = int(os.environ.get("FREQFUSION_OVERLAP", "32"))
 TILE_BATCH = int(os.environ.get("FREQFUSION_TILE_BATCH", "2"))
 DTYPE = os.environ.get("FREQFUSION_BENCH_DTYPE", "float32")  # or "bfloat16"
-USE_PALLAS = os.environ.get("FREQFUSION_USE_PALLAS", "0") == "1"
+# fused Pallas window/OCAB attention: default ON (1.5x full-HAT measured);
+# set FREQFUSION_USE_PALLAS=0 to compare against the pure-XLA chain
+USE_PALLAS = os.environ.get("FREQFUSION_USE_PALLAS", "1") == "1"
 LR_H, LR_W = 339, 510   # DIV2K ×4 LR size for a 2040×1356 HR image
 
 
@@ -50,7 +52,9 @@ def main():
     from freqfusion_tpu.models.fusion import FusionConfig
     from freqfusion_tpu.infer.tiling import tiled_sr, num_tiles
 
-    model = FreqFusionSR(FusionConfig(use_pallas=USE_PALLAS))
+    kernels = dict(use_pallas=True) if USE_PALLAS else {}
+    model = FreqFusionSR(FusionConfig(use_pallas=USE_PALLAS),
+                         hat_kwargs=kernels, dat_kwargs=kernels)
     dummy = jnp.zeros((TILE_BATCH, TILE, TILE, 3), jnp.float32)
     with jax.default_device(jax.devices("cpu")[0]):
         variables = model.init(jax.random.PRNGKey(0), dummy)

@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--target", required=True, help="ground-truth PNG dir")
     ap.add_argument("--border", type=int, default=4)
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 1)
+    ap.add_argument("--csv-dir", default=None,
+                    help="where to write the csv/txt (default: next to the "
+                         "output dir, keeping the reference's naming)")
     args = ap.parse_args()
 
     outs = sorted(f for f in os.listdir(args.output) if f.lower().endswith(".png"))
@@ -92,7 +95,8 @@ def main():
 
     parent = os.path.basename(os.path.dirname(os.path.abspath(args.output)))
     folder = os.path.basename(os.path.abspath(args.output))
-    stem = f"{parent}--{folder}"
+    csv_dir = args.csv_dir or os.path.dirname(os.path.abspath(args.output))
+    stem = os.path.join(csv_dir, f"{parent}--{folder}")
     with open(stem + ".csv", "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["image", "psnr", "ssim"])

@@ -80,7 +80,35 @@ def _load_expert_params(variables, model_dir: str):
     return variables
 
 
+def _load_native_fusion_ckpt(variables, path: str):
+    """Load a framework-native msgpack checkpoint (CheckpointManager schema)
+    into the fusion subtree — closes the train→serve loop without a torch
+    round-trip."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        record = serialization.msgpack_restore(f.read())
+    params = record.get("params", {})
+    if "fusion" in params:  # live-mode payloads nest under 'fusion'
+        params = params["fusion"]
+    variables["params"]["fusion"] = jax.tree_util.tree_map(
+        np.asarray, params)
+    stats = record.get("batch_stats", {})
+    if "fusion" in stats:
+        stats = stats["fusion"]
+    if stats and "batch_stats" in variables:
+        variables["batch_stats"] = dict(variables["batch_stats"])
+        variables["batch_stats"]["fusion"] = jax.tree_util.tree_map(
+            np.asarray, stats)
+    return variables
+
+
 def _load_fusion_params(variables, model_dir: str):
+    native = _find(model_dir, ["best_*.ckpt", "checkpoints/**/best_*.ckpt",
+                               "latest.ckpt", "checkpoints/**/latest.ckpt",
+                               "*.ckpt", "checkpoints/**/*.ckpt"])
+    if native:
+        return _load_native_fusion_ckpt(variables, native)
     path = _find(model_dir, ["*.pth", "checkpoints/**/*.pth", "checkpoints/*.pth"])
     # skip expert checkpoints that the glob may also match
     if path and "pretrained" in path:
@@ -124,8 +152,18 @@ class InferencePipeline:
             tile_batch = max(tile_batch, n_devices)
             tile_batch += (-tile_batch) % n_devices
         self.tile_batch = tile_batch
+        expert_kwargs = dict(expert_kwargs or {})
+        # fused Pallas window/OCAB attention kernels by default on TPU
+        # (exact-math replacements, tests/test_pallas_wattn.py; 1.5x on the
+        # full HAT-L forward). FREQFUSION_USE_PALLAS=0 disables.
+        if os.environ.get("FREQFUSION_USE_PALLAS", "1") == "1" \
+                and jax.default_backend() == "tpu":
+            for k in ("hat_kwargs", "dat_kwargs"):
+                sub = dict(expert_kwargs.get(k) or {})
+                sub.setdefault("use_pallas", True)
+                expert_kwargs[k] = sub
         self.model = FreqFusionSR(fusion_config or MODEL_CONFIG,
-                                  **(expert_kwargs or {}))
+                                  **expert_kwargs)
         dummy = jnp.zeros((tile_batch, tile, tile, 3), jnp.float32)
         with jax.default_device(jax.devices("cpu")[0]):
             variables = self.model.init(jax.random.PRNGKey(seed), dummy)
@@ -162,15 +200,29 @@ class InferencePipeline:
 
     def run_image(self, lr: np.ndarray) -> np.ndarray:
         return tiled_sr(lr, self.forward_batch, self.tile, self.overlap,
-                        self.tile_batch, MODEL_CONFIG.upscale)
+                        self.tile_batch, self.model.cfg.upscale)
 
 
 def main(model_dir: str, input_path: str, output_path: str, device=None):
     """The challenge `model_func(model_dir, input_path, output_path, device)`
     contract (reference io.py:189-234). `device` is accepted for signature
-    parity; placement is governed by JAX."""
+    parity; placement is governed by JAX. A FREQFUSION_CONFIG yaml (see
+    utils.runtime.runtime_overrides) shrinks/overrides the model — the
+    debug-mode analog of the reference's --debug (train.py:1219-1224)."""
+    from ..utils.runtime import runtime_overrides
+
     os.makedirs(output_path, exist_ok=True)
-    pipe = InferencePipeline(model_dir)
+    ov = runtime_overrides()
+    kwargs = {}
+    if "model" in ov:
+        m = dict(ov["model"])
+        kwargs["expert_kwargs"] = m.pop("expert_kwargs", None)
+        if m:
+            kwargs["fusion_config"] = FusionConfig(**m)
+    for k in ("tile", "overlap", "tile_batch"):
+        if k in ov.get("infer", {}):
+            kwargs[k] = ov["infer"][k]
+    pipe = InferencePipeline(model_dir, **kwargs)
     files = list_images(input_path)
     for f in files:
         t0 = time.time()

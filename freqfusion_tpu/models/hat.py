@@ -184,6 +184,7 @@ class OCAB(nn.Module):
     overlap_ratio: float
     num_heads: int
     mlp_ratio: float
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):  # [B,H,W,C]
@@ -197,28 +198,41 @@ class OCAB(nn.Module):
         qkv = nn.Dense(3 * c, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        qw = W.window_partition(q, ws, ws)  # [B*nW, ws², C]
-        kw = W.extract_overlapping_windows(k, ws, ows - ws)  # [B*nW, ows², C]
-        vw = W.extract_overlapping_windows(v, ws, ows - ws)
-
-        def heads(t):
-            return jnp.transpose(
-                t.reshape(t.shape[0], t.shape[1], self.num_heads, hd), (0, 2, 1, 3))
-
-        attn = jnp.einsum("bhnd,bhmd->bhnm", heads(qw) * (hd ** -0.5), heads(kw),
-                          preferred_element_type=jnp.float32)
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((ws + ows - 1) ** 2, self.num_heads))
-        attn = attn + W.oca_bias_from_table(table, ws, ows)[None]
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, heads(vw),
-                         preferred_element_type=jnp.float32)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, ws * ws, c)
-        x = W.window_reverse(out, ws, ws, h, w)
+        bias = W.oca_bias_from_table(table, ws, ows)  # [nh, ws², ows²]
+        wproj = self.param("proj_kernel", nn.initializers.lecun_normal(),
+                           (c, c))
+        bproj = self.param("proj_bias", nn.initializers.zeros, (c,))
 
-        x = nn.Dense(c, name="proj")(x) + shortcut
+        if (self.use_pallas and jax.default_backend() == "tpu"
+                and ows - ws == ws // 2):
+            from ..ops.pallas.wattn import fused_overlap_attention
+            x = fused_overlap_attention(q, k, v, wproj, bproj, bias,
+                                        ws, ows - ws, self.num_heads)
+        else:
+            qw = W.window_partition(q, ws, ws)  # [B*nW, ws², C]
+            kw = W.extract_overlapping_windows(k, ws, ows - ws)
+            vw = W.extract_overlapping_windows(v, ws, ows - ws)
+
+            def heads(t):
+                return jnp.transpose(
+                    t.reshape(t.shape[0], t.shape[1], self.num_heads, hd),
+                    (0, 2, 1, 3))
+
+            attn = jnp.einsum("bhnd,bhmd->bhnm", heads(qw) * (hd ** -0.5),
+                              heads(kw), preferred_element_type=jnp.float32)
+            attn = attn + bias[None]
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, heads(vw),
+                             preferred_element_type=jnp.float32)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, ws * ws, c)
+            out = out.astype(x.dtype) @ wproj + bproj
+            x = W.window_reverse(out, ws, ws, h, w)
+
+        x = x + shortcut
         x = x + Mlp(int(c * self.mlp_ratio), c, name="mlp")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
         return x
@@ -247,7 +261,7 @@ class RHAG(nn.Module):
                     self.compress, self.squeeze, self.conv_scale,
                     self.mlp_ratio, self.use_pallas, name=f"blocks_{i}")(x)
         x = OCAB(self.dim, self.window, self.overlap_ratio, self.num_heads,
-                 self.mlp_ratio, name="overlap_attn")(x)
+                 self.mlp_ratio, self.use_pallas, name="overlap_attn")(x)
         x = nn.Conv(self.dim, (3, 3), name="conv")(x)
         return res + x
 

@@ -193,6 +193,104 @@ def fused_window_attention_qkv(
     )(*args)
 
 
+def _kernel_oca(q_ref, k0_ref, k1_ref, k2_ref, v0_ref, v1_ref, v2_ref,
+                wproj_ref, bproj_ref, bias_ref, o_ref, *, ws: int, ows: int,
+                num_heads: int, head_dim: int, n_wc: int):
+    nq = ws * ws
+    nk = ows * ows
+    c = q_ref.shape[-1]
+    dt = q_ref.dtype
+    kst = jnp.concatenate([k0_ref[0], k1_ref[0], k2_ref[0]], axis=0)
+    vst = jnp.concatenate([v0_ref[0], v1_ref[0], v2_ref[0]], axis=0)
+    scale = jnp.asarray(head_dim ** -0.5, dt)
+
+    for j in range(n_wc):
+        qw = q_ref[0, :, j * ws:(j + 1) * ws, :].reshape(nq, c)
+        kw = kst[:, j * ws:j * ws + ows, :].reshape(nk, c)
+        vw = vst[:, j * ws:j * ws + ows, :].reshape(nk, c)
+        head_outs = []
+        for h in range(num_heads):
+            cols = slice(h * head_dim, (h + 1) * head_dim)
+            a = jax.lax.dot_general(qw[:, cols] * scale, kw[:, cols],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            a = a + bias_ref[h]
+            a = jax.nn.softmax(a, axis=-1).astype(dt)
+            head_outs.append(
+                jnp.dot(a, vw[:, cols], preferred_element_type=jnp.float32)
+                .astype(dt))
+        wout = jnp.concatenate(head_outs, axis=-1)
+        pr = jnp.dot(wout, wproj_ref[:], preferred_element_type=jnp.float32)
+        pr = pr + bproj_ref[0]
+        o_ref[0, :, j * ws:(j + 1) * ws, :] = (
+            pr.reshape(ws, ws, c).astype(o_ref.dtype))
+
+
+def fused_overlap_attention(
+    q: jnp.ndarray,                 # [B, H, W, C] projected queries
+    k: jnp.ndarray, v: jnp.ndarray,  # [B, H, W, C] projected keys/values
+    wproj: jnp.ndarray, bproj: jnp.ndarray,
+    bias: jnp.ndarray,              # [nh, ws², ows²] OCA rel-pos bias
+    window: int, overlap: int, num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """OCAB inner attention: ws×ws queries over (ws+overlap)² overlapping
+    keys/values (hat_arch.py:352-438), fused with the output projection.
+
+    The overlapping k/v strips are fed as THREE half-window-strided views of
+    the padded image (block height ws/2, index maps 2i/2i+1/2i+2) and
+    re-assembled in VMEM — overlapping reads without halo DMA (which this
+    Mosaic build rejects at non-128 lane dims) and without materializing the
+    2.25× unfolded kv tensor.
+    """
+    b, h, w, c = q.shape
+    ws = window
+    ows = ws + overlap
+    p = overlap // 2
+    assert h % ws == 0 and w % ws == 0 and ws % 2 == 0 and overlap == ws // 2
+    n_wr, n_wc = h // ws, w // ws
+    hs = ws // 2  # strip height; 3 strips cover ws + overlap rows
+
+    kp = jnp.pad(k, [(0, 0), (p, p), (p, p), (0, 0)])
+    vp = jnp.pad(v, [(0, 0), (p, p), (p, p), (0, 0)])
+    wp_cols = w + 2 * p
+
+    grid = (b, n_wr)
+    strip = lambda off: pl.BlockSpec(
+        (1, hs, wp_cols, c), lambda bi, i, off=off: (bi, 2 * i + off, 0, 0),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, ws, w, c), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        strip(0), strip(1), strip(2),
+        strip(0), strip(1), strip(2),
+        pl.BlockSpec((c, c), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, ws * ws, ows * ows),
+                     lambda bi, i: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(
+        _kernel_oca, ws=ws, ows=ows, num_heads=num_heads,
+        head_dim=c // num_heads, n_wc=n_wc)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ws, w, c), lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(np.prod(grid)) * n_wc * (
+                2 * num_heads * ws * ws * ows * ows * (c // num_heads) * 2
+                + 2 * ws * ws * c * c),
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=int(np.prod(grid)) * n_wc * num_heads
+            * ws * ws * ows * ows),
+        interpret=interpret,
+    )(q, kp, kp, kp, vp, vp, vp, wproj, bproj.reshape(1, -1),
+      bias.astype(jnp.float32))
+
+
 def fused_window_attention(
     x: jnp.ndarray,                 # [B, H, W, C] (already shift-rolled)
     wqkv: jnp.ndarray,              # [C, 3C]

@@ -25,3 +25,24 @@ def enable_compilation_cache(cache_dir: str | None = None):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # older jax versions: ignore
         pass
+
+
+def runtime_overrides() -> dict:
+    """Optional runtime config from the FREQFUSION_CONFIG yaml.
+
+    The inference CLIs (test.py → io.main) and the feature extractor
+    hardcode the shipped full-size MODEL_CONFIG like the reference
+    (io.py:40-58); this hook is the debug-shrink analog of the reference's
+    `--debug` mode (train.py:1219-1224) — a yaml with any of:
+
+        model:  {fusion_dim, num_heads, refine_depth, refine_channels,
+                 enable_* flags, expert_kwargs: {hat_kwargs: {...}, ...}}
+        infer:  {tile, overlap, tile_batch}
+    """
+    path = os.environ.get("FREQFUSION_CONFIG")
+    if not path or not os.path.exists(path):
+        return {}
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f) or {}

@@ -42,7 +42,7 @@ def main():
     from freqfusion_tpu.models.experts import ExpertEnsemble
     from freqfusion_tpu.infer.io import _load_expert_params
     from freqfusion_tpu.utils.imageio import load_image
-    from freqfusion_tpu.utils.runtime import enable_compilation_cache
+    from freqfusion_tpu.utils.runtime import enable_compilation_cache, runtime_overrides
 
     enable_compilation_cache()
     os.makedirs(args.out, exist_ok=True)
@@ -51,7 +51,8 @@ def main():
     pairs = match_pairs(list_image_paths(lr_dir), list_image_paths(hr_dir))
     print(f"{len(pairs)} LR/HR pairs in {lr_dir}")
 
-    model = ExpertEnsemble()
+    expert_kwargs = runtime_overrides().get("model", {}).get("expert_kwargs") or {}
+    model = ExpertEnsemble(**expert_kwargs)
     dummy = jnp.zeros((args.batch, args.patch, args.patch, 3))
     with jax.default_device(jax.devices("cpu")[0]):
         variables = model.init(jax.random.PRNGKey(0), dummy)

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Marginal-cost probes: time n vs 2n stacked copies of a component with
+DISTINCT params in single dispatches; (t2-t1)/n is the true per-copy device
+cost — immune to the ~29 ms dispatch overhead, CSE, and weight reuse.
+
+Usage: python scripts/probe_marginal.py [dtype] [probe ...]
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from freqfusion_tpu.models.hat import CAB, HAB, OCAB, Mlp, WindowAttention  # noqa: E402
+
+
+def time_once(fn, *args, iters=5):
+    f = jax.jit(fn)
+    float(f(*args))
+    float(f(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(f(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1000)
+
+
+def marginal(make_module, x, n1=2, n2=6, train_sig=False):
+    """Stack k distinct-param copies; return per-copy marginal ms."""
+    m = make_module()
+    plist = [m.init(jax.random.PRNGKey(i), x) for i in range(n2)]
+    plist = jax.tree_util.tree_map(lambda a: a.astype(x.dtype), plist)
+
+    def run(k):
+        def fn(x0, ps):
+            y = x0
+            for i in range(k):
+                y = m.apply(ps[i], y)
+                y = y[0] if isinstance(y, tuple) else y
+            return jnp.sum(y.astype(jnp.float32))
+        return time_once(fn, x, plist[:k])
+
+    t1, t2 = run(n1), run(n2)
+    return (t2 - t1) / (n2 - n1), t1, t2
+
+
+def report(name, per, t1, t2):
+    print(json.dumps({"probe": name, "marginal_ms": round(per, 2),
+                      "t_n1": round(t1, 1), "t_n2": round(t2, 1)}), flush=True)
+
+
+def main():
+    dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
+    which = set(sys.argv[2:])
+    c, heads, window, hw, b = 180, 6, 16, 192, 2
+    x = (jax.random.normal(jax.random.PRNGKey(9), (b, hw, hw, c)) * 0.2).astype(dtype)
+    print(json.dumps({"devices": [str(d) for d in jax.devices()],
+                      "dtype": dtype}), flush=True)
+
+    probes = {
+        "hab": lambda: HAB(c, heads, window, 8, 3, 30, 0.01, 2.0),
+        "hab_noshift": lambda: HAB(c, heads, window, 0, 3, 30, 0.01, 2.0),
+        "hab_pallas": lambda: HAB(c, heads, window, 8, 3, 30, 0.01, 2.0,
+                                  use_pallas=True),
+        "wattn": lambda: WindowAttention(c, window, heads),
+        "wattn_pallas": lambda: WindowAttention(c, window, heads,
+                                                use_pallas=True),
+        "cab": lambda: CAB(c, 3, 30),
+        "mlp": lambda: Mlp(2 * c, c),
+        "ocab": lambda: OCAB(c, window, 0.5, heads, 2.0),
+        "ocab_pallas": lambda: OCAB(c, window, 0.5, heads, 2.0,
+                                    use_pallas=True),
+    }
+
+    def _datb(b_idx, use_pallas=False):
+        from freqfusion_tpu.models.dat import DATB
+        return lambda: DATB(c, heads, (8, 32), 4.0, 0, b_idx,
+                            use_pallas=use_pallas)
+
+    probes["datb_spatial"] = _datb(0)
+    probes["datb_spatial_pallas"] = _datb(0, True)
+    probes["datb_spatial_shift"] = _datb(2)
+    probes["datb_channel"] = _datb(1)
+    for name, mk in probes.items():
+        if which and name not in which:
+            continue
+        try:
+            per, t1, t2 = marginal(mk, x)
+            report(f"{name}.{dtype}", per, t1, t2)
+        except Exception as e:
+            print(json.dumps({"probe": f"{name}.{dtype}",
+                              "error": str(e)[:300]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

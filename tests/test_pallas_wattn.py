@@ -103,6 +103,39 @@ def test_fused_qkv_variant_matches_xla_rect_windows():
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_fused_overlap_attention_matches_xla():
+    """OCAB inner attention: 3-strip overlapping kv assembly vs the
+    slice-stack XLA path."""
+    from freqfusion_tpu.ops.pallas.wattn import fused_overlap_attention
+
+    b, h, w, c, nh, ws = 1, 16, 24, 12, 2, 8
+    ows, ov = ws + ws // 2, ws // 2
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)
+    q, k, v = (jax.random.normal(keys[i], (b, h, w, c)) * 0.3 for i in range(3))
+    wproj = jax.random.normal(keys[3], (c, c)) * 0.05
+    bproj = jax.random.normal(keys[4], (c,)) * 0.02
+    bias = jax.random.normal(keys[5], (nh, ws * ws, ows * ows)) * 0.1
+
+    hd = c // nh
+    qw = W.window_partition(q, ws, ws)
+    kw = W.extract_overlapping_windows(k, ws, ov)
+    vw = W.extract_overlapping_windows(v, ws, ov)
+
+    def heads(t):
+        return jnp.transpose(t.reshape(t.shape[0], t.shape[1], nh, hd),
+                             (0, 2, 1, 3))
+    attn = jnp.einsum("bhnd,bhmd->bhnm", heads(qw) * (hd ** -0.5), heads(kw))
+    attn = jax.nn.softmax(attn + bias[None], axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, heads(vw))
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, ws * ws, c)
+    want = W.window_reverse(out @ wproj + bproj, ws, ws, h, w)
+
+    got = fused_overlap_attention(q, k, v, wproj, bproj, bias, ws, ov, nh,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_hat_window_attention_module_consistency():
     """The module's two paths share params; check the XLA path after the
     raw-param restructure still matches a hand-built reference."""
