@@ -193,37 +193,39 @@ def fused_window_attention_qkv(
     )(*args)
 
 
-def _kernel_oca(q_ref, k0_ref, k1_ref, k2_ref, v0_ref, v1_ref, v2_ref,
-                wproj_ref, bproj_ref, bias_ref, o_ref, *, ws: int, ows: int,
-                num_heads: int, head_dim: int, n_wc: int):
+def _kernel_oca(q_ref, *rest, ws: int, ows: int, num_heads: int,
+                head_dim: int):
+    kv_refs = rest[:18]
+    wproj_ref, bproj_ref, bias_ref, o_ref = rest[18:]
     nq = ws * ws
     nk = ows * ows
     c = q_ref.shape[-1]
     dt = q_ref.dtype
-    kst = jnp.concatenate([k0_ref[0], k1_ref[0], k2_ref[0]], axis=0)
-    vst = jnp.concatenate([v0_ref[0], v1_ref[0], v2_ref[0]], axis=0)
+    # assemble the 24×24 kv window from 3×3 half-window views
+    k_rows = [jnp.concatenate([kv_refs[r * 3 + s][0] for s in range(3)],
+                              axis=1) for r in range(3)]
+    kw = jnp.concatenate(k_rows, axis=0).reshape(nk, c)
+    v_rows = [jnp.concatenate([kv_refs[9 + r * 3 + s][0] for s in range(3)],
+                              axis=1) for r in range(3)]
+    vw = jnp.concatenate(v_rows, axis=0).reshape(nk, c)
+    qw = q_ref[0].reshape(nq, c)
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
-    for j in range(n_wc):
-        qw = q_ref[0, :, j * ws:(j + 1) * ws, :].reshape(nq, c)
-        kw = kst[:, j * ws:j * ws + ows, :].reshape(nk, c)
-        vw = vst[:, j * ws:j * ws + ows, :].reshape(nk, c)
-        head_outs = []
-        for h in range(num_heads):
-            cols = slice(h * head_dim, (h + 1) * head_dim)
-            a = jax.lax.dot_general(qw[:, cols] * scale, kw[:, cols],
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            a = a + bias_ref[h]
-            a = jax.nn.softmax(a, axis=-1).astype(dt)
-            head_outs.append(
-                jnp.dot(a, vw[:, cols], preferred_element_type=jnp.float32)
-                .astype(dt))
-        wout = jnp.concatenate(head_outs, axis=-1)
-        pr = jnp.dot(wout, wproj_ref[:], preferred_element_type=jnp.float32)
-        pr = pr + bproj_ref[0]
-        o_ref[0, :, j * ws:(j + 1) * ws, :] = (
-            pr.reshape(ws, ws, c).astype(o_ref.dtype))
+    head_outs = []
+    for h in range(num_heads):
+        cols = slice(h * head_dim, (h + 1) * head_dim)
+        a = jax.lax.dot_general(qw[:, cols] * scale, kw[:, cols],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        a = a + bias_ref[h]
+        a = jax.nn.softmax(a, axis=-1).astype(dt)
+        head_outs.append(
+            jnp.dot(a, vw[:, cols], preferred_element_type=jnp.float32)
+            .astype(dt))
+    wout = jnp.concatenate(head_outs, axis=-1)
+    pr = jnp.dot(wout, wproj_ref[:], preferred_element_type=jnp.float32)
+    pr = pr + bproj_ref[0]
+    o_ref[0] = pr.reshape(ws, ws, c).astype(o_ref.dtype)
 
 
 def fused_overlap_attention(
@@ -237,11 +239,12 @@ def fused_overlap_attention(
     """OCAB inner attention: ws×ws queries over (ws+overlap)² overlapping
     keys/values (hat_arch.py:352-438), fused with the output projection.
 
-    The overlapping k/v strips are fed as THREE half-window-strided views of
-    the padded image (block height ws/2, index maps 2i/2i+1/2i+2) and
+    The overlapping k/v windows are fed as NINE half-window-strided views of
+    the padded images (block (ws/2, ws/2), index maps (2i+r, 2j+s)) and
     re-assembled in VMEM — overlapping reads without halo DMA (which this
-    Mosaic build rejects at non-128 lane dims) and without materializing the
-    2.25× unfolded kv tensor.
+    Mosaic build rejects at non-128 lane dims), without materializing the
+    2.25× unfolded kv tensor, and with per-window blocks small enough to fit
+    VMEM at any image width.
     """
     b, h, w, c = q.shape
     ws = window
@@ -249,45 +252,49 @@ def fused_overlap_attention(
     p = overlap // 2
     assert h % ws == 0 and w % ws == 0 and ws % 2 == 0 and overlap == ws // 2
     n_wr, n_wc = h // ws, w // ws
-    hs = ws // 2  # strip height; 3 strips cover ws + overlap rows
+    hs = ws // 2  # half-window view size; 3×3 views cover (ws+overlap)²
 
     kp = jnp.pad(k, [(0, 0), (p, p), (p, p), (0, 0)])
     vp = jnp.pad(v, [(0, 0), (p, p), (p, p), (0, 0)])
-    wp_cols = w + 2 * p
 
-    grid = (b, n_wr)
-    strip = lambda off: pl.BlockSpec(
-        (1, hs, wp_cols, c), lambda bi, i, off=off: (bi, 2 * i + off, 0, 0),
+    grid = (b, n_wr, n_wc)
+    view = lambda r, s: pl.BlockSpec(
+        (1, hs, hs, c),
+        lambda bi, i, j, r=r, s=s: (bi, 2 * i + r, 2 * j + s, 0),
         memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((1, ws, w, c), lambda bi, i: (bi, i, 0, 0),
+    in_specs = [pl.BlockSpec((1, ws, ws, c),
+                             lambda bi, i, j: (bi, i, j, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [view(r, s) for r in range(3) for s in range(3)]  # k
+    in_specs += [view(r, s) for r in range(3) for s in range(3)]  # v
+    in_specs += [
+        pl.BlockSpec((c, c), lambda bi, i, j: (0, 0),
                      memory_space=pltpu.VMEM),
-        strip(0), strip(1), strip(2),
-        strip(0), strip(1), strip(2),
-        pl.BlockSpec((c, c), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda bi, i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((num_heads, ws * ws, ows * ows),
-                     lambda bi, i: (0, 0, 0), memory_space=pltpu.VMEM),
+                     lambda bi, i, j: (0, 0, 0), memory_space=pltpu.VMEM),
     ]
     kernel = functools.partial(
         _kernel_oca, ws=ws, ows=ows, num_heads=num_heads,
-        head_dim=c // num_heads, n_wc=n_wc)
+        head_dim=c // num_heads)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ws, w, c), lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, ws, ws, c),
+                               lambda bi, i, j: (bi, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=int(np.prod(grid)) * n_wc * (
+            flops=int(np.prod(grid)) * (
                 2 * num_heads * ws * ws * ows * ows * (c // num_heads) * 2
                 + 2 * ws * ws * c * c),
             bytes_accessed=4 * q.size * q.dtype.itemsize,
-            transcendentals=int(np.prod(grid)) * n_wc * num_heads
+            transcendentals=int(np.prod(grid)) * num_heads
             * ws * ws * ows * ows),
         interpret=interpret,
-    )(q, kp, kp, kp, vp, vp, vp, wproj, bproj.reshape(1, -1),
+    )(q, *([kp] * 9), *([vp] * 9), wproj, bproj.reshape(1, -1),
       bias.astype(jnp.float32))
 
 

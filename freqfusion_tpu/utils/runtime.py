@@ -14,6 +14,15 @@ def enable_compilation_cache(cache_dir: str | None = None):
     """
     import jax
 
+    # honor JAX_PLATFORMS even though the axon sitecustomize force-registers
+    # the TPU platform (CLAUDE.md gotcha): every CLI calls this helper first
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     cache_dir = cache_dir or os.environ.get(
         "FREQFUSION_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(
