@@ -72,7 +72,10 @@ class FusionConfig:
     enable_adaptive_bands: bool = True
     enable_multi_resolution: bool = True
     enable_collaborative: bool = True
-    use_pallas: bool = False  # fused Pallas LKA kernel on the eval path
+    # fused Pallas LKA kernel on eval paths; backend-gated inside the LKA
+    # module, so the default is safe on CPU (fires at d%128==0, i.e. the
+    # C=128 collaborative path during cached-mode validation)
+    use_pallas: bool = True
 
 
 #: claimed per-module PSNR gains (enhanced_fusion.py:843-868)

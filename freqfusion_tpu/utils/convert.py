@@ -342,6 +342,44 @@ def fusion_key_fn(path: Tuple[str, ...]) -> str:
     return ".".join(toks + [out_leaf])
 
 
+def v2_key_fn(path: Tuple[str, ...]) -> str:
+    """Flax path → torch key for enhanced_fusion_v2 modules
+    (FusionHeadV2 and its private variant blocks)."""
+    parts = [p for p in path if p != "params"]
+    body, leaf = parts[:-1], parts[-1]
+    toks = []
+    for p in body:
+        base, idx = _split_idx(p)
+        if p == "thresh_fc1":
+            toks.append("threshold_predictor.2")
+        elif p == "thresh_fc2":
+            toks.append("threshold_predictor.4")
+        elif base == "band_proj":
+            toks.extend(["band_projectors", str(idx)])
+        elif base == "out_proj" and idx is not None:
+            toks.extend(["output_projectors", str(idx)])
+        elif p.startswith("proj_") and p[5:] in ("hat", "dat", "nafnet"):
+            toks.extend(["feature_projectors", p[5:]])
+        elif base == "feat_refine":
+            toks.extend(["feature_refine", str(idx)])
+        elif base == "mod":
+            toks.extend(["modulation_head", str(idx)])
+        elif base == "diff":
+            toks.extend(["difficulty_net", str(idx)])
+        elif base == "gate":
+            toks.extend(["gate_net", str(idx)])
+        elif p.startswith("router_"):
+            m, i2 = p.rsplit("_", 1)
+            toks.extend([m, i2])
+        elif idx is not None:
+            toks.extend([base, str(idx)])
+        else:
+            toks.append(p)
+    if leaf.startswith("res_weight") or leaf == "band_gates":
+        return ".".join(toks + [leaf])
+    return ".".join(toks + [_LEAF.get(leaf, leaf)])
+
+
 def hat_key_fn(path: Tuple[str, ...]) -> str:
     """Flax path → torch key for the HAT state dict.
 
