@@ -56,7 +56,11 @@ def main():
     model = FreqFusionSR(FusionConfig(use_pallas=USE_PALLAS),
                          hat_kwargs=kernels, dat_kwargs=kernels)
     dummy = jnp.zeros((TILE_BATCH, TILE, TILE, 3), jnp.float32)
-    with jax.default_device(jax.devices("cpu")[0]):
+    try:
+        host = jax.devices("cpu")[0]
+    except RuntimeError:
+        host = jax.devices()[0]
+    with jax.default_device(host):
         variables = model.init(jax.random.PRNGKey(0), dummy)
     if DTYPE == "bfloat16":
         variables = jax.tree_util.tree_map(

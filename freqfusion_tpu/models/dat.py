@@ -104,7 +104,8 @@ class SpatialWindowAttention(nn.Module):
         # gather-free Toeplitz construction (ops/windows.py)
         bias = W.swin_bias_from_table(pos, self.hs, self.ws)
 
-        if (self.use_pallas and jax.default_backend() == "tpu"
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu"
                 and self.hs * self.ws >= 64):
             from ..ops.pallas.wattn import fused_window_attention_qkv
             return fused_window_attention_qkv(

@@ -109,8 +109,8 @@ class WindowAttention(nn.Module):
         # slow on this backend — ops/windows.py swin_bias_from_table)
         bias = W.swin_bias_from_table(table, self.window, self.window)
 
-        if (self.use_pallas and jax.default_backend() == "tpu"
-                and self.window >= 8):
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu" and self.window >= 8):
             from ..ops.pallas.wattn import fused_window_attention
             return fused_window_attention(
                 x_img, wqkv, bqkv, wproj, bproj, bias,
@@ -208,7 +208,8 @@ class OCAB(nn.Module):
                            (c, c))
         bproj = self.param("proj_bias", nn.initializers.zeros, (c,))
 
-        if (self.use_pallas and jax.default_backend() == "tpu"
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu"
                 and ws >= 8 and ows - ws == ws // 2):
             from ..ops.pallas.wattn import fused_overlap_attention
             x = fused_overlap_attention(q, k, v, wproj, bproj, bias,

@@ -56,8 +56,8 @@ class LargeKernelAttention(nn.Module):
 
         # the fused kernel wins only at full 128-lane channel counts
         # (measured on v5e: 2.5× at C=128; lane padding loses at C=64)
-        if (self.use_pallas and not train and d % 128 == 0
-                and jax.default_backend() == "tpu"):
+        if (self.use_pallas and not train and not self.is_initializing()
+                and d % 128 == 0 and jax.default_backend() == "tpu"):
             from ..ops.pallas.lka import lka_gate
             scale, shift = bn.affine()
             return lka_gate(x, w5.reshape(5, 5, d), wh.reshape(k, d),

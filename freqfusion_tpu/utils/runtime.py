@@ -18,6 +18,11 @@ def enable_compilation_cache(cache_dir: str | None = None):
     # the TPU platform (CLAUDE.md gotcha): every CLI calls this helper first
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
+        # keep the host CPU backend available for fast host-side init
+        # (model.init on CPU, then device_put) — restricting to the TPU
+        # platform alone makes jax.devices("cpu") raise
+        if "cpu" not in plat.split(","):
+            plat = plat + ",cpu"
         try:
             jax.config.update("jax_platforms", plat)
         except Exception:
@@ -34,6 +39,18 @@ def enable_compilation_cache(cache_dir: str | None = None):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # older jax versions: ignore
         pass
+
+
+def host_device():
+    """The host CPU device if the CPU backend is registered, else the
+    default device. Used for fast host-side `model.init` (avoids hundreds
+    of small round-trips through the TPU tunnel)."""
+    import jax
+
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return jax.devices()[0]
 
 
 def runtime_overrides() -> dict:

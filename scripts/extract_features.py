@@ -42,7 +42,7 @@ def main():
     from freqfusion_tpu.models.experts import ExpertEnsemble
     from freqfusion_tpu.infer.io import _load_expert_params
     from freqfusion_tpu.utils.imageio import load_image
-    from freqfusion_tpu.utils.runtime import enable_compilation_cache, runtime_overrides
+    from freqfusion_tpu.utils.runtime import enable_compilation_cache, host_device, runtime_overrides
 
     enable_compilation_cache()
     os.makedirs(args.out, exist_ok=True)
@@ -54,7 +54,7 @@ def main():
     expert_kwargs = runtime_overrides().get("model", {}).get("expert_kwargs") or {}
     model = ExpertEnsemble(**expert_kwargs)
     dummy = jnp.zeros((args.batch, args.patch, args.patch, 3))
-    with jax.default_device(jax.devices("cpu")[0]):
+    with jax.default_device(host_device()):
         variables = model.init(jax.random.PRNGKey(0), dummy)
     variables = jax.tree_util.tree_map(np.asarray, variables)
     variables = _load_expert_params(variables, args.model_dir)

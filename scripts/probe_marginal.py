@@ -87,11 +87,33 @@ def main():
     probes["datb_spatial_pallas"] = _datb(0, True)
     probes["datb_spatial_shift"] = _datb(2)
     probes["datb_channel"] = _datb(1)
+
+    # NAFNet blocks run at HR resolution (×4 the tile): probe at the real
+    # production pixel load — 768² for a 192² tile — but batch 1 to fit.
+    from freqfusion_tpu.models.nafnet import NAFBlock
+    xn = (jax.random.normal(jax.random.PRNGKey(3), (1, 768, 768, 64)) * 0.2
+          ).astype(dtype)
+    xn2 = (jax.random.normal(jax.random.PRNGKey(4), (1, 384, 384, 128)) * 0.2
+           ).astype(dtype)
+    naf_probes = {
+        "nafblock_w64_hr": (lambda: NAFBlock(64), xn),
+        "nafblock_w128_half": (lambda: NAFBlock(128), xn2),
+    }
+
     for name, mk in probes.items():
         if which and name not in which:
             continue
         try:
             per, t1, t2 = marginal(mk, x)
+            report(f"{name}.{dtype}", per, t1, t2)
+        except Exception as e:
+            print(json.dumps({"probe": f"{name}.{dtype}",
+                              "error": str(e)[:300]}), flush=True)
+    for name, (mk, xi) in naf_probes.items():
+        if which and name not in which:
+            continue
+        try:
+            per, t1, t2 = marginal(mk, xi, n1=1, n2=3)
             report(f"{name}.{dtype}", per, t1, t2)
         except Exception as e:
             print(json.dumps({"probe": f"{name}.{dtype}",
