@@ -62,8 +62,12 @@ def _mock_torchvision():
 
 
 def ref_import(modname: str):
+    # Append (not prepend): the reference repo has top-level train.py/test.py/
+    # eval.py that would otherwise shadow OUR entry points for later tests.
+    # All reference imports go through its `src.*` package, which the repo
+    # does not have, so append resolves them fine.
     if REFERENCE_DIR not in sys.path:
-        sys.path.insert(0, REFERENCE_DIR)
+        sys.path.append(REFERENCE_DIR)
     _mock_timm()
     _mock_torchvision()
     import importlib
