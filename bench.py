@@ -54,7 +54,8 @@ def main():
 
     kernels = dict(use_pallas=True) if USE_PALLAS else {}
     model = FreqFusionSR(FusionConfig(use_pallas=USE_PALLAS),
-                         hat_kwargs=kernels, dat_kwargs=kernels)
+                         hat_kwargs=kernels, dat_kwargs=kernels,
+                         nafnet_kwargs=kernels)
     dummy = jnp.zeros((TILE_BATCH, TILE, TILE, 3), jnp.float32)
     try:
         host = jax.devices("cpu")[0]

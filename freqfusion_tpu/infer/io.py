@@ -163,7 +163,7 @@ class InferencePipeline:
         # full HAT-L forward). FREQFUSION_USE_PALLAS=0 disables.
         if os.environ.get("FREQFUSION_USE_PALLAS", "1") == "1" \
                 and jax.default_backend() == "tpu":
-            for k in ("hat_kwargs", "dat_kwargs"):
+            for k in ("hat_kwargs", "dat_kwargs", "nafnet_kwargs"):
                 sub = dict(expert_kwargs.get(k) or {})
                 sub.setdefault("use_pallas", True)
                 expert_kwargs[k] = sub

@@ -38,14 +38,54 @@ def gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+class _DenseParams(nn.Module):
+    """Raw kernel/bias with nn.Dense-compatible names/init, so the fused
+    Pallas paths can consume the same checkpoint tree as the XLA chain."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Raw scale/bias with nn.LayerNorm-compatible names/init + an `apply`
+    replicating nn.LayerNorm's fast-variance math."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return w, b
+
+
+def apply_ln(x, w, b, eps=1e-5):
+    """nn.LayerNorm default math (fast variance) on the last axis."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    mean2 = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
 
     @nn.compact
-    def __call__(self, x):
-        x = gelu(nn.Dense(self.hidden, name="fc1")(x))
-        return nn.Dense(self.out, name="fc2")(x)
+    def __call__(self, x, raw: bool = False):
+        k1, b1 = _DenseParams(x.shape[-1], self.hidden, name="fc1")()
+        k2, b2 = _DenseParams(self.hidden, self.out, name="fc2")()
+        if raw:
+            return k1, b1, k2, b2
+        return gelu(x @ k1 + b1) @ k2 + b2
 
 
 class ChannelAttention(nn.Module):
@@ -91,7 +131,7 @@ class WindowAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x_img, mask=None):  # [B,H,W,C]
+    def __call__(self, x_img, mask=None, raw: bool = False):  # [B,H,W,C]
         b, h, w, c = x_img.shape
         n = self.window * self.window
         hd = c // self.num_heads
@@ -108,6 +148,9 @@ class WindowAttention(nn.Module):
         # gather-free Toeplitz construction (XLA gathers are pathologically
         # slow on this backend — ops/windows.py swin_bias_from_table)
         bias = W.swin_bias_from_table(table, self.window, self.window)
+
+        if raw:  # fused-HAB path pulls the params out (models/hat.py HAB)
+            return wqkv, bqkv, wproj, bproj, bias
 
         if (self.use_pallas and not self.is_initializing()
                 and jax.default_backend() == "tpu" and self.window >= 8):
@@ -153,27 +196,48 @@ class HAB(nn.Module):
     @nn.compact
     def __call__(self, x):  # [B,H,W,C]
         b, h, w, c = x.shape
+        ln1_w, ln1_b = _LNParams(c, name="norm1")()
+        ln2_w, ln2_b = _LNParams(c, name="norm2")()
+        attn_mod = WindowAttention(c, self.window, self.num_heads,
+                                   self.use_pallas, name="attn")
+        mlp = Mlp(int(c * self.mlp_ratio), c, name="mlp")
+
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x_ln = apply_ln(x, ln1_w, ln1_b)
+        conv_x = CAB(c, self.compress, self.squeeze, name="conv_block")(x_ln)
+        mask = (W.shift_attn_mask(h, w, self.window, self.window,
+                                  self.shift, self.shift)
+                if self.shift > 0 else None)
 
-        conv_x = CAB(c, self.compress, self.squeeze, name="conv_block")(x)
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu" and self.window >= 8):
+            # whole-block fused kernel (LN1+W-MSA+residuals+LN2+MLP); the CAB
+            # conv branch stays XLA (MXU-bound). Residuals commute with the
+            # shift roll, so shifted blocks run entirely in rolled coords.
+            wqkv, bqkv, wproj, bproj, bias = attn_mod(x_ln, raw=True)
+            k1, b1, k2, b2 = mlp(x_ln, raw=True)
+            from ..ops.pallas.wattn import fused_hab_block
+            xs, cxs = shortcut, conv_x
+            if self.shift > 0:
+                sh = (-self.shift, -self.shift)
+                xs = jnp.roll(xs, sh, axis=(1, 2))
+                cxs = jnp.roll(cxs, sh, axis=(1, 2))
+            out = fused_hab_block(
+                xs, cxs, ln1_w, ln1_b, ln2_w, ln2_b, wqkv, bqkv, wproj,
+                bproj, k1, b1, k2, b2, bias, mask,
+                (self.window, self.window), self.num_heads, self.conv_scale)
+            if self.shift > 0:
+                out = jnp.roll(out, (self.shift, self.shift), axis=(1, 2))
+            return out
 
-        if self.shift > 0:
-            shifted = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
-            # numpy constant (trace-time); both attention paths consume it
-            mask = W.shift_attn_mask(h, w, self.window, self.window,
-                                     self.shift, self.shift)
-        else:
-            shifted, mask = x, None
-        shifted = WindowAttention(c, self.window, self.num_heads,
-                                  self.use_pallas, name="attn")(shifted, mask)
+        shifted = (jnp.roll(x_ln, (-self.shift, -self.shift), axis=(1, 2))
+                   if self.shift > 0 else x_ln)
+        shifted = attn_mod(shifted, mask)
         attn_x = (jnp.roll(shifted, (self.shift, self.shift), axis=(1, 2))
                   if self.shift > 0 else shifted)
 
         x = shortcut + attn_x + conv_x * self.conv_scale
-        x = x + Mlp(int(c * self.mlp_ratio), c, name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
-        return x
+        return x + mlp(apply_ln(x, ln2_w, ln2_b))
 
 
 class OCAB(nn.Module):
@@ -194,6 +258,9 @@ class OCAB(nn.Module):
         ows = int(ws * self.overlap_ratio) + ws
         hd = c // self.num_heads
 
+        ln2_w, ln2_b = _LNParams(c, name="norm2")()
+        mlp = Mlp(int(c * self.mlp_ratio), c, name="mlp")
+
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         qkv = nn.Dense(3 * c, name="qkv")(x)
@@ -210,10 +277,16 @@ class OCAB(nn.Module):
 
         if (self.use_pallas and not self.is_initializing()
                 and jax.default_backend() == "tpu"
-                and ws >= 8 and ows - ws == ws // 2):
-            from ..ops.pallas.wattn import fused_overlap_attention
+                # half-window kv views are the kernel's sublane blocks →
+                # ws/2 must sit on the 8-sublane grid (Mosaic constraint)
+                and ws % 16 == 0 and ows - ws == ws // 2):
+            from ..ops.pallas.wattn import (fused_overlap_attention,
+                                            fused_residual_ln_mlp)
             x = fused_overlap_attention(q, k, v, wproj, bproj, bias,
                                         ws, ows - ws, self.num_heads)
+            k1, b1, k2, b2 = mlp(x, raw=True)
+            return fused_residual_ln_mlp(x, shortcut, ln2_w, ln2_b,
+                                         k1, b1, k2, b2)
         else:
             qw = W.window_partition(q, ws, ws)  # [B*nW, ws², C]
             kw = W.extract_overlapping_windows(k, ws, ows - ws)
@@ -235,9 +308,7 @@ class OCAB(nn.Module):
             x = W.window_reverse(out, ws, ws, h, w)
 
         x = x + shortcut
-        x = x + Mlp(int(c * self.mlp_ratio), c, name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
-        return x
+        return x + mlp(apply_ln(x, ln2_w, ln2_b))
 
 
 class RHAG(nn.Module):

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.common import channel_layernorm, pixel_shuffle
@@ -48,34 +49,92 @@ def simple_gate(x: jnp.ndarray) -> jnp.ndarray:
     return x1 * x2
 
 
+class _ConvParams(nn.Module):
+    """Raw kernel/bias with nn.Conv-compatible names/init so the fused
+    Pallas path shares the checkpoint tree with the XLA chain."""
+
+    shape: Tuple[int, int, int, int]  # (kh, kw, in, out) HWIO
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(batch_axis=(),
+                       in_axis=-2, out_axis=-1), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+class _LN2dParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return w, b
+
+
 class NAFBlock(nn.Module):
     """NAFBlock: dwconv + SimpleGate + simplified channel attention + FFN,
-    with learnable per-channel residual scales β/γ (init 0)."""
+    with learnable per-channel residual scales β/γ (init 0).
+
+    With `use_pallas` (TPU, eval) the whole block runs as two fused
+    VMEM-resident kernels (ops/pallas/nafblock.py) — the width-64 blocks at
+    the ×4-upsampled resolution are otherwise pure HBM bandwidth."""
 
     c: int
     dw_expand: int = 2
     ffn_expand: int = 2
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, inp):
         c, dw = self.c, self.c * self.dw_expand
-        x = LayerNorm2d(c, name="norm1")(inp)
-        x = nn.Conv(dw, (1, 1), name="conv1")(x)
-        x = nn.Conv(dw, (3, 3), feature_group_count=dw, name="conv2")(x)
+        ln1_w, ln1_b = _LN2dParams(c, name="norm1")()
+        ln2_w, ln2_b = _LN2dParams(c, name="norm2")()
+        w1, b1 = _ConvParams((1, 1, c, dw), name="conv1")()
+        wdw, bdw = _ConvParams((3, 3, 1, dw), name="conv2")()
+        sca_w, sca_b = _ConvParams((1, 1, dw // 2, dw // 2), name="sca")()
+        w3, b3 = _ConvParams((1, 1, dw // 2, c), name="conv3")()
+        w4, b4 = _ConvParams((1, 1, c, self.ffn_expand * c), name="conv4")()
+        w5, b5 = _ConvParams((1, 1, self.ffn_expand * c // 2, c),
+                             name="conv5")()
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        gamma = self.param("gamma", nn.initializers.zeros, (c,))
+
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu"
+                and self.dw_expand == 2 and self.ffn_expand == 2
+                and self.c <= 256):  # deep wide levels are MXU-bound; their
+                # f32 weight blocks (≥2 MB each) would crowd VMEM
+            from ..ops.pallas.nafblock import fused_naf_block
+            params = dict(ln1_w=ln1_w, ln1_b=ln1_b, w1=w1, b1=b1, wdw=wdw,
+                          bdw=bdw, w3=w3, b3=b3, beta=beta, ln2_w=ln2_w,
+                          ln2_b=ln2_b, w4=w4, b4=b4, w5=w5, b5=b5,
+                          gamma=gamma)
+            return fused_naf_block(inp, params, sca_w, sca_b)
+
+        def conv1x1(t, k, b):
+            return jnp.einsum("bhwc,cd->bhwd", t,
+                              k.reshape(k.shape[-2], k.shape[-1])) + b
+
+        x = channel_layernorm(inp, ln1_w, ln1_b)
+        x = conv1x1(x, w1, b1)
+        x = jax.lax.conv_general_dilated(
+            x, wdw.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=dw) + bdw
         x = simple_gate(x)
         # simplified channel attention: global avg pool → 1×1 conv → scale
         att = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        att = nn.Conv(dw // 2, (1, 1), name="sca")(att)
+        att = conv1x1(att, sca_w, sca_b)
         x = x * att
-        x = nn.Conv(c, (1, 1), name="conv3")(x)
-        beta = self.param("beta", nn.initializers.zeros, (c,))
+        x = conv1x1(x, w3, b3)
         y = inp + x * beta
 
-        x = LayerNorm2d(c, name="norm2")(y)
-        x = nn.Conv(self.ffn_expand * c, (1, 1), name="conv4")(x)
+        x = channel_layernorm(y, ln2_w, ln2_b)
+        x = conv1x1(x, w4, b4)
         x = simple_gate(x)
-        x = nn.Conv(c, (1, 1), name="conv5")(x)
-        gamma = self.param("gamma", nn.initializers.zeros, (c,))
+        x = conv1x1(x, w5, b5)
         return y + x * gamma
 
 
@@ -84,11 +143,13 @@ class NAFStage(nn.Module):
 
     c: int
     num_blocks: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_blocks):
-            x = NAFBlock(self.c, name=f"blocks_{i}")(x)
+            x = NAFBlock(self.c, use_pallas=self.use_pallas,
+                         name=f"blocks_{i}")(x)
         return x
 
 
@@ -100,6 +161,7 @@ class NAFNet(nn.Module):
     enc_blk_nums: Sequence[int] = (2, 2, 4, 8)
     dec_blk_nums: Sequence[int] = (2, 2, 2, 2)
     img_channel: int = 3
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, inp) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -109,20 +171,21 @@ class NAFNet(nn.Module):
         encs = []
         chan = self.width
         for i, num in enumerate(self.enc_blk_nums):
-            x = NAFStage(chan, num, name=f"encoders_{i}")(x)
+            x = NAFStage(chan, num, self.use_pallas, name=f"encoders_{i}")(x)
             encs.append(x)
             x = nn.Conv(2 * chan, (2, 2), strides=(2, 2), padding="VALID",
                         name=f"downs_{i}")(x)
             chan *= 2
 
-        x = NAFStage(chan, self.middle_blk_num, name="middle_blks")(x)
+        x = NAFStage(chan, self.middle_blk_num, self.use_pallas,
+                     name="middle_blks")(x)
 
         for i, num in enumerate(self.dec_blk_nums):
             x = nn.Conv(chan * 2, (1, 1), use_bias=False, name=f"ups_{i}")(x)
             x = pixel_shuffle(x, 2)
             chan //= 2
             x = x + encs[-(i + 1)]
-            x = NAFStage(chan, num, name=f"decoders_{i}")(x)
+            x = NAFStage(chan, num, self.use_pallas, name=f"decoders_{i}")(x)
 
         feats = x  # input of the `ending` conv — the fusion-head feature tap
         x = nn.Conv(self.img_channel, (3, 3), name="ending")(x)
@@ -143,6 +206,7 @@ class NAFNetSR(nn.Module):
     middle_blk_num: int = 12
     enc_blk_nums: Sequence[int] = (2, 2, 4, 8)
     dec_blk_nums: Sequence[int] = (2, 2, 2, 2)
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, lr) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -155,7 +219,8 @@ class NAFNetSR(nn.Module):
         if ph or pw:
             x_in = jnp.pad(x_up, [(0, 0), (0, ph), (0, pw), (0, 0)])
         out, feats = NAFNet(self.width, self.middle_blk_num, self.enc_blk_nums,
-                            self.dec_blk_nums, name="nafnet")(x_in)
+                            self.dec_blk_nums, use_pallas=self.use_pallas,
+                            name="nafnet")(x_in)
         out = out[:, :h, :w, :]
         feats = feats[:, :h, :w, :]
         return jnp.clip(out, 0.0, 1.0), feats

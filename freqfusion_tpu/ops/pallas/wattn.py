@@ -102,6 +102,234 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
             pr.reshape(wsh, wsw, c).astype(o_ref.dtype))
 
 
+def _gelu_exact(x):
+    """Exact-GELU for Mosaic kernels: this build lowers neither erf nor erfc,
+    so Φ is built from exp via the Abramowitz–Stegun 7.1.26 rational erf
+    (max |err| 1.5e-7 — well inside the kernels' 5e-5 parity budget)."""
+    xf = x.astype(jnp.float32)
+    z = xf * np.float32(1.0 / np.sqrt(2.0))
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + np.float32(0.3275911) * az)
+    poly = t * (np.float32(0.254829592)
+                + t * (np.float32(-0.284496736)
+                       + t * (np.float32(1.421413741)
+                              + t * (np.float32(-1.453152027)
+                                     + t * np.float32(1.061405429)))))
+    erf_az = 1.0 - poly * jnp.exp(-az * az)
+    erf_z = jnp.where(z >= 0, erf_az, -erf_az)
+    return 0.5 * xf * (1.0 + erf_z)
+
+
+def _ln(x, w, b, eps=1e-5):
+    """f32 LayerNorm over the last axis (torch nn.LayerNorm semantics)."""
+    xf = x.astype(jnp.float32)
+    u = jnp.mean(xf, axis=-1, keepdims=True)
+    s = jnp.mean(jnp.square(xf - u), axis=-1, keepdims=True)
+    return (xf - u) * jax.lax.rsqrt(s + eps) * w + b
+
+
+def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                bias_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref, *rest, wsh: int, wsw: int,
+                num_heads: int, head_dim: int, gh: int, has_mask: bool,
+                conv_scale: float):
+    """Whole HAB minus the CAB convs: LN1 → W-MSA (+proj) → residual combine
+    with the precomputed CAB branch → LN2 → MLP → residual, one HBM read of
+    (x, conv_x) and one write. See HAB in models/hat.py for the XLA chain."""
+    if has_mask:
+        mask_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    n = wsh * wsw
+    c = x_ref.shape[-1]
+    cp = wproj_ref.shape[0]
+    hdp = cp // num_heads
+    dt = x_ref.dtype
+    xb = x_ref[0].reshape(gh * n, c)
+    ln1 = _ln(xb, ln1w_ref[0], ln1b_ref[0]).astype(dt)
+    qkv = jnp.dot(ln1, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(dt)
+    scale = jnp.asarray(head_dim ** -0.5, dt)
+
+    for g in range(gh):
+        head_outs = []
+        for h in range(num_heads):
+            q = qkv[g * n:(g + 1) * n, h * hdp:(h + 1) * hdp]
+            k = qkv[g * n:(g + 1) * n, cp + h * hdp:cp + (h + 1) * hdp]
+            v = qkv[g * n:(g + 1) * n, 2 * cp + h * hdp:2 * cp + (h + 1) * hdp]
+            a = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            a = a + bias_ref[h]
+            if has_mask:
+                a = a + mask_ref[0, 0, g]
+            a = jax.nn.softmax(a, axis=-1).astype(dt)
+            head_outs.append(jnp.dot(a, v, preferred_element_type=jnp.float32)
+                             .astype(dt))
+        wout = jnp.concatenate(head_outs, axis=-1)  # [N, cp]
+        pr = jnp.dot(wout, wproj_ref[:], preferred_element_type=jnp.float32)
+        pr = pr + bproj_ref[0]
+        rows = slice(g * n, (g + 1) * n)
+        y = (xb[rows].astype(jnp.float32) + pr
+             + cx_ref[0].reshape(gh * n, c)[rows].astype(jnp.float32)
+             * conv_scale)
+        ln2 = _ln(y, ln2w_ref[0], ln2b_ref[0]).astype(dt)
+        h1 = jnp.dot(ln2, w1_ref[:], preferred_element_type=jnp.float32)
+        h1 = _gelu_exact(h1 + b1_ref[0]).astype(dt)
+        h2 = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32)
+        y = y + h2 + b2_ref[0]
+        o_ref[0, g * wsh:(g + 1) * wsh, :, :] = (
+            y.reshape(wsh, wsw, c).astype(o_ref.dtype))
+
+
+def fused_hab_block(
+    x: jnp.ndarray,                 # [B, H, W, C] raw (pre-rolled) input
+    conv_x: jnp.ndarray,            # [B, H, W, C] CAB branch (pre-rolled)
+    ln1_w, ln1_b, ln2_w, ln2_b,     # [C] LayerNorm affines
+    wqkv, bqkv, wproj, bproj,       # attention projections
+    w1, b1, w2, b2,                 # MLP fc1/fc2
+    bias: jnp.ndarray,              # [num_heads, N, N]
+    mask,                           # [nW, N, N] shift mask or None
+    window: Tuple[int, int],
+    num_heads: int,
+    conv_scale: float,
+    max_gh: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused HAB pass (everything except the CAB convs): returns
+    x + attn(LN1(x)) + conv_scale·conv_x + MLP(LN2(·)).
+
+    For shifted blocks the caller rolls x/conv_x and un-rolls the result —
+    residuals commute with the roll, so doing the whole block in rolled
+    coordinates is math-identical (models/hat.py HAB).
+    """
+    b, h, w, c = x.shape
+    wsh, wsw = window
+    assert h % wsh == 0 and w % wsw == 0, (h, w, window)
+    n = wsh * wsw
+    hd = c // num_heads
+    n_wr, n_wc = h // wsh, w // wsw
+    gh = _pick_gh(n_wr, max_gh)
+
+    align = 32
+    hdp = -(-hd // align) * align
+    if hdp != hd:
+        wqkv, bqkv, wproj = _align_heads(wqkv, bqkv, wproj, num_heads, hd, hdp)
+    cp = num_heads * hdp
+    hidden = w1.shape[1]
+
+    grid = (b, n_wr // gh, n_wc)
+    img_spec = pl.BlockSpec((1, gh * wsh, wsw, c),
+                            lambda bi, i, j: (bi, i, j, 0),
+                            memory_space=pltpu.VMEM)
+    const = lambda *shape: (lambda bi, i, j: tuple(0 for _ in shape))
+    vec = lambda m: pl.BlockSpec((1, m), const(0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        img_spec, img_spec,
+        pl.BlockSpec((c, 3 * cp), const(0, 0), memory_space=pltpu.VMEM),
+        vec(3 * cp),
+        pl.BlockSpec((cp, c), const(0, 0), memory_space=pltpu.VMEM),
+        vec(c),
+        pl.BlockSpec((num_heads, n, n), const(0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        vec(c), vec(c), vec(c), vec(c),
+        pl.BlockSpec((c, hidden), const(0, 0), memory_space=pltpu.VMEM),
+        vec(hidden),
+        pl.BlockSpec((hidden, c), const(0, 0), memory_space=pltpu.VMEM),
+        vec(c),
+    ]
+    f32 = lambda a: a.astype(jnp.float32)
+    args = [x, conv_x, wqkv, bqkv.reshape(1, -1), wproj,
+            f32(bproj).reshape(1, -1), f32(bias),
+            f32(ln1_w).reshape(1, -1), f32(ln1_b).reshape(1, -1),
+            f32(ln2_w).reshape(1, -1), f32(ln2_b).reshape(1, -1),
+            w1, f32(b1).reshape(1, -1), w2, f32(b2).reshape(1, -1)]
+
+    has_mask = mask is not None
+    if has_mask:
+        m = np.asarray(mask).reshape(n_wr, n_wc, n, n)
+        m = m.reshape(n_wr // gh, gh, n_wc, n, n).transpose(0, 2, 1, 3, 4)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, gh, n, n), lambda bi, i, j: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(m, jnp.float32))
+
+    kernel = functools.partial(
+        _kernel_hab, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
+        gh=gh, has_mask=has_mask, conv_scale=float(conv_scale))
+    flops_per = (2 * gh * n * c * (4 * cp + 2 * hidden)
+                 + 2 * gh * num_heads * n * n * hdp * 2)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=img_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * int(np.prod(grid)),
+            bytes_accessed=3 * x.size * x.dtype.itemsize,
+            transcendentals=int(np.prod(grid)) * gh * n * (num_heads * n
+                                                           + hidden)),
+        interpret=interpret,
+    )(*args)
+
+
+def _kernel_res_mlp(a_ref, s_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
+                    w2_ref, b2_ref, o_ref):
+    """y = a + s; out = y + MLP(LN(y)) — the transformer-block tail shared by
+    OCAB (models/hat.py) and similar residual+FFN epilogues."""
+    sh = a_ref.shape
+    c = sh[-1]
+    y = (a_ref[0].astype(jnp.float32) + s_ref[0].astype(jnp.float32))
+    y2 = y.reshape(-1, c)
+    dt = a_ref.dtype
+    ln = _ln(y2, lnw_ref[0], lnb_ref[0]).astype(dt)
+    h1 = jnp.dot(ln, w1_ref[:], preferred_element_type=jnp.float32)
+    h1 = _gelu_exact(h1 + b1_ref[0]).astype(dt)
+    h2 = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32)
+    out = y2 + h2 + b2_ref[0]
+    o_ref[0] = out.reshape(sh[1:]).astype(o_ref.dtype)
+
+
+def fused_residual_ln_mlp(a, shortcut, ln_w, ln_b, w1, b1, w2, b2,
+                          interpret: bool = False):
+    """Fused `y = a + shortcut; y + MLP(LN(y))` over [B,H,W,C] images: one
+    HBM read of (a, shortcut), one write, MLP matmuls VMEM-resident."""
+    b, h, w, c = a.shape
+    hidden = w1.shape[1]
+    # row-strip blocks ≈ ≤1.5 MB (f32) to leave VMEM room for the MLP
+    target = max(1, (1_500_000 // (w * c * 4)))
+    bh = 1
+    for d in range(1, h + 1):
+        if h % d == 0 and d <= target:
+            bh = d
+    grid = (b, h // bh)
+    img_spec = pl.BlockSpec((1, bh, w, c), lambda bi, i: (bi, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    const = lambda *shape: (lambda bi, i: tuple(0 for _ in shape))
+    vec = lambda m: pl.BlockSpec((1, m), const(0, 0), memory_space=pltpu.VMEM)
+    f32 = lambda t: t.astype(jnp.float32)
+    return pl.pallas_call(
+        _kernel_res_mlp,
+        grid=grid,
+        in_specs=[
+            img_spec, img_spec,
+            vec(c), vec(c),
+            pl.BlockSpec((c, hidden), const(0, 0), memory_space=pltpu.VMEM),
+            vec(hidden),
+            pl.BlockSpec((hidden, c), const(0, 0), memory_space=pltpu.VMEM),
+            vec(c),
+        ],
+        out_specs=img_spec,
+        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * w * c * hidden,
+            bytes_accessed=3 * a.size * a.dtype.itemsize,
+            transcendentals=b * h * w * hidden),
+        interpret=interpret,
+    )(a, shortcut, f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),
+      w1, f32(b1).reshape(1, -1), w2, f32(b2).reshape(1, -1))
+
+
 def _kernel_qkv(q_ref, k_ref, v_ref, bias_ref, *rest, wsh: int, wsw: int,
                 num_heads: int, head_dim: int, gh: int, has_mask: bool):
     """Pre-projected q/k/v images (DAT rect-window branches: the qkv Dense

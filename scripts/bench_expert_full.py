@@ -28,7 +28,7 @@ def build(which, dtype, use_pallas):
         x = jnp.ones((2, 192, 192, 3), dtype)
     elif which == "nafnet":
         from freqfusion_tpu.models.nafnet import NAFNetSR
-        model = NAFNetSR()
+        model = NAFNetSR(use_pallas=use_pallas)
         x = jnp.ones((2, 192, 192, 3), dtype)
     else:
         raise ValueError(which)

@@ -155,3 +155,69 @@ def test_hat_window_attention_module_consistency():
         window, nh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_hab_block_matches_module():
+    """fused_hab_block must be a drop-in for the whole HAB-minus-CAB chain:
+    compare against the module's XLA path (use_pallas=False) for both the
+    plain and the shifted block."""
+    from freqfusion_tpu.models.hat import CAB, HAB, apply_ln
+    from freqfusion_tpu.ops.pallas.wattn import fused_hab_block
+
+    c, nh, window = 24, 4, 8
+    for shift, seed in ((0, 0), (window // 2, 7)):
+        m = HAB(dim=c, num_heads=nh, window=window, shift=shift, compress=3,
+                squeeze=6, conv_scale=0.01, mlp_ratio=2.0, use_pallas=False)
+        x = jax.random.normal(jax.random.PRNGKey(seed), (2, 16, 24, c)) * 0.3
+        variables = m.init(jax.random.PRNGKey(seed + 1), x)
+        want = m.apply(variables, x)
+
+        p = variables["params"]
+        ln1w, ln1b = p["norm1"]["scale"], p["norm1"]["bias"]
+        x_ln = apply_ln(x, ln1w, ln1b)
+        conv_x = CAB(c, 3, 6).apply({"params": p["conv_block"]}, x_ln)
+        n = window * window
+        rpi = W.relative_position_index(window, window).reshape(-1)
+        bias = jnp.transpose(
+            p["attn"]["relative_position_bias_table"][rpi].reshape(n, n, nh),
+            (2, 0, 1))
+        mask = (W.shift_attn_mask(16, 24, window, window, shift, shift)
+                if shift else None)
+        xs, cxs = x, conv_x
+        if shift:
+            xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+            cxs = jnp.roll(cxs, (-shift, -shift), axis=(1, 2))
+        got = fused_hab_block(
+            xs, cxs, ln1w, ln1b, p["norm2"]["scale"], p["norm2"]["bias"],
+            p["attn"]["qkv_kernel"], p["attn"]["qkv_bias"],
+            p["attn"]["proj_kernel"], p["attn"]["proj_bias"],
+            p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+            p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+            bias, mask, (window, window), nh, 0.01, interpret=True)
+        if shift:
+            got = jnp.roll(got, (shift, shift), axis=(1, 2))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_fused_residual_ln_mlp_matches_xla():
+    from freqfusion_tpu.models.hat import apply_ln, gelu
+    from freqfusion_tpu.ops.pallas.wattn import fused_residual_ln_mlp
+
+    b, h, w, c, hidden = 2, 12, 20, 36, 72
+    keys = jax.random.split(jax.random.PRNGKey(2), 8)
+    a = jax.random.normal(keys[0], (b, h, w, c)) * 0.3
+    s = jax.random.normal(keys[1], (b, h, w, c)) * 0.3
+    lnw = 1.0 + jax.random.normal(keys[2], (c,)) * 0.1
+    lnb = jax.random.normal(keys[3], (c,)) * 0.1
+    w1 = jax.random.normal(keys[4], (c, hidden)) * 0.05
+    b1 = jax.random.normal(keys[5], (hidden,)) * 0.02
+    w2 = jax.random.normal(keys[6], (hidden, c)) * 0.05
+    b2 = jax.random.normal(keys[7], (c,)) * 0.02
+
+    y = a + s
+    want = y + gelu(apply_ln(y, lnw, lnb) @ w1 + b1) @ w2 + b2
+    got = fused_residual_ln_mlp(a, s, lnw, lnb, w1, b1, w2, b2,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
