@@ -30,6 +30,8 @@ import numpy as np
 
 from ..ops import windows as W
 from ..ops.common import pixel_shuffle
+from .hat import _DenseParams, _LNParams, apply_ln
+from .nafnet import _ConvParams
 
 RGB_MEAN = (0.4488, 0.4371, 0.4040)
 
@@ -248,25 +250,40 @@ class AdaptiveChannelAttention(nn.Module):
     def __call__(self, x):  # [B,H,W,C]
         b, h, w, c = x.shape
         n = h * w
-        hd = c // self.num_heads
-        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x).reshape(b, n, 3, self.num_heads, hd)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 4, 1))  # [3,B,heads,hd,N]
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
-        def l2norm(t):
-            return t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+        nh = self.num_heads
+        hd = c // nh
+        # Transpose-free XCiT: the reference materializes [B,heads,hd,N]
+        # layouts (two full-tensor transposes). Here tensors stay N-major
+        # [B,N,C]: the per-head C×C Grams are the diagonal blocks of the full
+        # (cheap, [C,C]) Gram, l2 normalization is a separable outer-product
+        # scale on it, and applying attention is one matmul against the
+        # block-diagonal attention matrix. Math-identical (dat_arch.py
+        # Adaptive_Channel_Attention), no relayouts.
+        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x).reshape(b, n, 3 * c)
+        qf, kf, vf = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
 
         temperature = self.param("temperature", nn.initializers.ones,
                                  (self.num_heads, 1, 1))
-        attn = jnp.einsum("bhcn,bhdn->bhcd", l2norm(q), l2norm(k),
-                          preferred_element_type=jnp.float32) * temperature
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhcd,bhdn->bhcn", attn, v,
-                         preferred_element_type=jnp.float32)
-        # [B,heads,hd,N] → [B,N,C] (channel-major concat, as in torch)
-        attened = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, h, w, c)
+        qn = jnp.maximum(jnp.sqrt(jnp.sum(
+            jnp.square(qf.astype(jnp.float32)), axis=1)), 1e-12)  # [B,C]
+        kn = jnp.maximum(jnp.sqrt(jnp.sum(
+            jnp.square(kf.astype(jnp.float32)), axis=1)), 1e-12)
+        gram = jnp.einsum("bnc,bnd->bcd", qf, kf,
+                          preferred_element_type=jnp.float32)
+        gram = gram / (qn[:, :, None] * kn[:, None, :])
+        blocks = jnp.stack(
+            [gram[:, i * hd:(i + 1) * hd, i * hd:(i + 1) * hd]
+             for i in range(nh)], axis=1)  # [B,heads,hd,hd]
+        attn = jax.nn.softmax(blocks * temperature, axis=-1)
+        # block-diagonal [B,C,C] application keeps v N-major
+        eye = jnp.eye(nh, dtype=attn.dtype)
+        bd = jnp.einsum("bhcd,hg->bhcgd", attn, eye)  # [B,h,hd,h',hd]
+        bd = bd.reshape(b, c, c)
+        attened = jnp.einsum("bnc,bdc->bnd", vf, bd,
+                             preferred_element_type=jnp.float32)
+        attened = attened.reshape(b, h, w, c).astype(x.dtype)
 
-        v_img = jnp.transpose(v.reshape(b, c, n), (0, 2, 1)).reshape(b, h, w, c)
+        v_img = vf.reshape(b, h, w, c)
         conv_x = AIMConvBranch(c, name="conv_branch")(v_img)
         channel_map = ChannelInteraction(c, name="channel_interaction")(attened)
         spatial_map = SpatialInteraction(c, name="spatial_interaction")(conv_x)
@@ -283,13 +300,22 @@ class SGFN(nn.Module):
     hidden: int
 
     @nn.compact
-    def __call__(self, x):  # [B,H,W,C]
-        x = gelu(nn.Dense(self.hidden, name="fc1")(x))
+    def __call__(self, x, raw: bool = False):  # [B,H,W,C]
+        half = self.hidden // 2
+        k1, b1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        sg_w, sg_b = _LNParams(half, name="sg_norm")()
+        wdw, bdw = _ConvParams((3, 3, 1, half), name="sg_conv")()
+        k2, b2 = _DenseParams(half, self.dim, name="fc2")()
+        if raw:  # fused-tail path (ops/pallas/sgfn.py) pulls the params out
+            return k1, b1, sg_w, sg_b, wdw, bdw, k2, b2
+        x = gelu(x @ k1 + b1)
         x1, x2 = jnp.split(x, 2, axis=-1)
-        x2 = nn.LayerNorm(epsilon=1e-5, name="sg_norm")(x2)
-        x2 = nn.Conv(self.hidden // 2, (3, 3),
-                     feature_group_count=self.hidden // 2, name="sg_conv")(x2)
-        return nn.Dense(self.dim, name="fc2")(x1 * x2)
+        x2 = apply_ln(x2, sg_w, sg_b)
+        x2 = jax.lax.conv_general_dilated(
+            x2, wdw.astype(x2.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=half) + bdw
+        return (x1 * x2) @ k2 + b2
 
 
 class DATB(nn.Module):
@@ -313,10 +339,16 @@ class DATB(nn.Module):
                 self.rg_idx, self.b_idx, self.use_pallas, name="attn")(h)
         else:
             h = AdaptiveChannelAttention(self.dim, self.num_heads, name="attn")(h)
+        ln2_w, ln2_b = _LNParams(self.dim, name="norm2")()
+        ffn = SGFN(self.dim, int(self.dim * self.expansion), name="ffn")
+
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas.sgfn import fused_sgfn_tail
+            return fused_sgfn_tail(h, x, ln2_w, ln2_b, *ffn(x, raw=True))
+
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        x = x + SGFN(self.dim, int(self.dim * self.expansion), name="ffn")(h)
-        return x
+        return x + ffn(apply_ln(x, ln2_w, ln2_b))
 
 
 class ResidualGroup(nn.Module):

@@ -221,3 +221,36 @@ def test_fused_residual_ln_mlp_matches_xla():
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_fused_sgfn_tail_matches_module():
+    """fused_sgfn_tail vs the DATB tail XLA chain (residual + LN2 + SGFN)."""
+    from freqfusion_tpu.models.dat import SGFN
+    from freqfusion_tpu.models.hat import apply_ln
+    from freqfusion_tpu.ops.pallas.sgfn import fused_sgfn_tail
+
+    b, h, w, c = 2, 16, 24, 20
+    hidden = 40
+    keys = jax.random.split(jax.random.PRNGKey(4), 4)
+    a = jax.random.normal(keys[0], (b, h, w, c)) * 0.3
+    s = jax.random.normal(keys[1], (b, h, w, c)) * 0.3
+    lnw = 1.0 + jax.random.normal(keys[2], (c,)) * 0.1
+    lnb = jax.random.normal(keys[3], (c,)) * 0.1
+
+    m = SGFN(c, hidden)
+    variables = m.init(jax.random.PRNGKey(5), a)
+    p = jax.tree_util.tree_map(
+        lambda t: t + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(hash(str(t.shape)) % 997), t.shape),
+        variables["params"])
+
+    y = a + s
+    want = y + m.apply({"params": p}, apply_ln(y, lnw, lnb))
+    got = fused_sgfn_tail(
+        a, s, lnw, lnb,
+        p["fc1"]["kernel"], p["fc1"]["bias"],
+        p["sg_norm"]["scale"], p["sg_norm"]["bias"],
+        p["sg_conv"]["kernel"], p["sg_conv"]["bias"],
+        p["fc2"]["kernel"], p["fc2"]["bias"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
