@@ -130,9 +130,17 @@ class FFTSplit(nn.Module):
 class BandSpatialAttention(nn.Module):
     """Per-band 3×3 conv → sigmoid spatial gate."""
 
+    in_channels: int = 3
+
     @nn.compact
-    def __call__(self, x):
-        att = jax.nn.sigmoid(nn.Conv(1, (3, 3), name="conv")(x))
+    def __call__(self, x=None, raw: bool = False):
+        from .nafnet import _ConvParams
+        k, b = _ConvParams((3, 3, self.in_channels, 1), name="conv")()
+        if raw:  # batched-gate path composes the 9 kernels into one conv
+            return k, b
+        att = jax.nn.sigmoid(jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b)
         return x * att
 
 
@@ -155,9 +163,24 @@ class AdaptiveBandFusion(nn.Module):
                                        lambda k, s: jnp.full(s, 0.6), (2,))),
         ])
         imp = imp / (imp.sum() + 1e-8)
-        weighted = [BandSpatialAttention(name=f"band_attention_{i}")(b) * imp[i]
-                    for i, b in enumerate(bands)]
-        concat = jnp.concatenate(weighted, axis=-1)  # [B,H,W,27]
+        # One 27→9 conv with a block-structured kernel replaces nine C=3
+        # convs (tiny-channel convs are layout-bound on TPU); composed from
+        # the per-band params at trace time — identical math and tree.
+        nb = len(bands)
+        cin = bands[0].shape[-1]
+        raws = [BandSpatialAttention(cin, name=f"band_attention_{i}")(raw=True)
+                for i in range(nb)]
+        concat_b = jnp.concatenate(list(bands), axis=-1)  # [B,H,W,27]
+        big_k = jnp.concatenate(
+            [jnp.pad(k, ((0, 0), (0, 0),
+                         (cin * i, cin * (nb - 1 - i)), (0, 0)))
+             for i, (k, _) in enumerate(raws)], axis=-1)  # [3,3,27,9]
+        big_b = jnp.concatenate([b for _, b in raws])
+        att = jax.nn.sigmoid(jax.lax.conv_general_dilated(
+            concat_b, big_k.astype(concat_b.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + big_b)
+        gates = jnp.repeat(att, cin, axis=-1) * jnp.repeat(imp, cin)
+        concat = concat_b * gates  # [B,H,W,27]
 
         t = nn.Conv(self.hidden, (1, 1), name="transform_fc1")(concat)
         t = nn.Conv(3 * self.in_channels, (1, 1), name="transform_fc2")(

@@ -64,6 +64,20 @@ class BatchNorm2d(nn.Module):
         return inv, self.offset - self.mean.value * inv
 
 
+class _DenseRaw(nn.Module):
+    """Raw kernel/bias with nn.Dense-compatible tree/init (fused paths)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class TorchMHA(nn.Module):
     """nn.MultiheadAttention equivalent (batch_first, packed in_proj).
 
@@ -76,12 +90,15 @@ class TorchMHA(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, raw: bool = False):
         e, h = self.embed_dim, self.num_heads
         hd = e // h
         in_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
                           (e, 3 * e))
         in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
+        if raw:  # fused-kernel paths pull the params out (ops/pallas/bandmha)
+            ow = _DenseRaw(e, e, name="out_proj")()
+            return in_w, in_b, ow[0], ow[1]
         qkv = x @ in_w + in_b
         q, k, v = jnp.split(qkv, 3, axis=-1)
 

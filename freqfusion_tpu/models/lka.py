@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize
+from .hat import _LNParams, apply_ln
 from .layers import BatchNorm2d, TorchMHA, gelu
 
 
@@ -121,10 +122,19 @@ class EnhancedCrossBandWithLKA(nn.Module):
         band_proj = nn.Conv(self.dim, (1, 1), name="band_proj")
         projected = jnp.stack([band_proj(b) for b in bands], axis=-2)
         # [B,H,W,bands,dim]
-        normed = nn.LayerNorm(epsilon=1e-5, name="norm")(projected)
-        attn = TorchMHA(self.dim, self.num_heads, name="band_attention")(
-            normed, train)
-        attn = attn + projected
+        mha = TorchMHA(self.dim, self.num_heads, name="band_attention")
+        ln_w, ln_b = _LNParams(self.dim, name="norm")()
+        if (self.use_pallas and not train and not self.is_initializing()
+                and jax.default_backend() == "tpu"):
+            # per-pixel band MHA is ~20× its flop cost in XLA (layout-bound
+            # [...,9,16] batched matmuls) — one fused lane-parallel kernel
+            from ..ops.pallas.bandmha import fused_band_mha
+            in_w, in_b, ow, ob = mha(projected, raw=True)
+            attn = fused_band_mha(projected, in_w, in_b, ow, ob,
+                                  ln_w, ln_b, self.num_heads)
+        else:
+            normed = apply_ln(projected, ln_w, ln_b)
+            attn = mha(normed, train) + projected
 
         lka_block = LKABlock(self.dim, self.lka_kernel,
                              use_pallas=self.use_pallas, name="lka_block")

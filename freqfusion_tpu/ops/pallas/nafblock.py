@@ -43,33 +43,37 @@ def _ln2d(x, w, b, eps=1e-6):
 def _kernel_a(x_ref, xt_ref, xb_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
               wdw_ref, bdw_ref, g_ref, sum_ref, *, bh: int, nblocks: int):
     i = pl.program_id(1)
-    w = x_ref.shape[2]
+    wp = x_ref.shape[2]          # W + 2 (inputs are W-padded by the caller)
+    w = wp - 2
     c = x_ref.shape[3]
     dw = w1_ref.shape[1]
     dt = x_ref.dtype
 
-    # assemble rows [-1 .. bh]; boundary halo rows are zeroed AFTER conv1 —
-    # SAME padding zeros the depthwise conv's *input* t, and LN(0)+bias ≠ 0
+    # assemble rows [-1 .. bh]; halo rows/cols are zeroed AFTER conv1 —
+    # SAME padding zeros the depthwise conv's *input* t, and LN(0)+bias ≠ 0.
+    # (Row assembly concatenates along the outer dim only; sublane/lane-dim
+    # concats miscompile on this Mosaic build at sub-128 lane widths.)
     xa = jnp.concatenate([xt_ref[0].astype(jnp.float32),
                           x_ref[0].astype(jnp.float32),
                           xb_ref[0].astype(jnp.float32)], axis=0)
 
     t = _ln2d(xa, lnw_ref[0], lnb_ref[0])
-    t = jnp.dot(t.reshape((bh + 2) * w, c).astype(dt), w1_ref[:],
+    t = jnp.dot(t.reshape((bh + 2) * wp, c).astype(dt), w1_ref[:],
                 preferred_element_type=jnp.float32)
-    t = (t + b1_ref[0]).reshape(bh + 2, w, dw)
+    t = (t + b1_ref[0]).reshape(bh + 2, wp, dw)
     top_live = (i > 0).astype(jnp.float32)
     bot_live = (i < nblocks - 1).astype(jnp.float32)
-    t = jnp.concatenate([t[0:1] * top_live, t[1:bh + 1],
-                         t[bh + 1:bh + 2] * bot_live], axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp, 1), 1)
+    live = (jnp.where(rows == 0, top_live, 1.0)
+            * jnp.where(rows == bh + 1, bot_live, 1.0)
+            * ((cols >= 1) & (cols <= w)).astype(jnp.float32))
+    t = t * live
 
-    # 3×3 depthwise, SAME zero padding in W via concat
-    zcol = jnp.zeros((bh + 2, 1, dw), jnp.float32)
-    tp = jnp.concatenate([zcol, t, zcol], axis=1)  # [bh+2, w+2, dw]
     acc = jnp.zeros((bh, w, dw), jnp.float32)
     for dr in range(3):
         for dc in range(3):
-            acc = acc + tp[dr:dr + bh, dc:dc + w, :] * wdw_ref[dr * 3 + dc]
+            acc = acc + t[dr:dr + bh, dc:dc + w, :] * wdw_ref[dr * 3 + dc]
     acc = acc + bdw_ref[0]
 
     g = acc[:, :, :dw // 2] * acc[:, :, dw // 2:]
@@ -108,9 +112,17 @@ def _kernel_b(g_ref, x_ref, att_ref, w3_ref, b3_ref, beta_ref,
     o_ref[0] = out.reshape(g_ref.shape[1], w, c).astype(o_ref.dtype)
 
 
-def _pick_bh(h: int, w: int, c: int, budget_bytes: int = 1_400_000) -> int:
+def _pad128(c: int) -> int:
+    """Mosaic stores the lane dim padded to 128 — VMEM sizing must too."""
+    return -(-c // 128) * 128
+
+
+def _pick_bh(h: int, w: int, chans, budget_bytes: int = 8_000_000) -> int:
+    """Largest divisor of h whose strip fits `budget_bytes`, counting one
+    f32 row of `w` for every (lane-padded) channel width in `chans`."""
+    row = w * sum(_pad128(c) for c in chans) * 4
+    target = max(1, budget_bytes // max(row, 1))
     bh = 1
-    target = max(1, budget_bytes // (w * c * 4))
     for d in range(1, h + 1):
         if h % d == 0 and d <= target:
             bh = d
@@ -126,9 +138,12 @@ def naf_block_stage_a(x, ln_w, ln_b, w1, b1, wdw, bdw,
     """
     b, h, w, c = x.shape
     dw = w1.shape[-1]
-    bh = _pick_bh(h, w, dw)
+    # strips hold xa [c] + t [dw] + mask/acc [2·dw] rows in f32
+    bh = _pick_bh(h, w + 2, (c, dw, dw, dw))
     nb = h // bh
     grid = (b, nb)
+    xp = jnp.pad(x, [(0, 0), (0, 0), (1, 1), (0, 0)])
+    wp = w + 2
 
     wdw_flat = wdw.reshape(9, dw).astype(jnp.float32)
     f32 = lambda t: t.astype(jnp.float32)
@@ -136,12 +151,12 @@ def naf_block_stage_a(x, ln_w, ln_b, w1, b1, wdw, bdw,
     vec = lambda m: pl.BlockSpec((1, m), const(0, 0), memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((1, bh, w, c), lambda bi, i: (bi, i, 0, 0),
+        pl.BlockSpec((1, bh, wp, c), lambda bi, i: (bi, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, w, c),
+        pl.BlockSpec((1, 1, wp, c),
                      lambda bi, i: (bi, jnp.maximum(i * bh - 1, 0), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, w, c),
+        pl.BlockSpec((1, 1, wp, c),
                      lambda bi, i: (bi, jnp.minimum(i * bh + bh, h - 1), 0, 0),
                      memory_space=pltpu.VMEM),
         vec(c), vec(c),
@@ -169,7 +184,7 @@ def naf_block_stage_a(x, ln_w, ln_b, w1, b1, wdw, bdw,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(x, x, x, f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),
+    )(xp, xp, xp, f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),
       w1.reshape(c, dw), f32(b1).reshape(1, -1), wdw_flat,
       f32(bdw).reshape(1, -1))
     return g, sums
@@ -180,7 +195,7 @@ def naf_block_stage_b(g, x, att, w3, b3, beta, ln2_w, ln2_b, w4, b4,
     """Pointwise second half: returns the NAFBlock output [B,H,W,C]."""
     b, h, w, c = g.shape
     dw = w4.shape[-1]
-    bh = _pick_bh(h, w, dw)
+    bh = _pick_bh(h, w, (c, c, dw, c))
     grid = (b, h // bh)
 
     f32 = lambda t: t.astype(jnp.float32)

@@ -30,45 +30,51 @@ def _kernel(a_ref, x_ref, at_ref, xt_ref, ab_ref, xb_ref,
             wdw_ref, bdw_ref, w2_ref, b2_ref, o_ref,
             *, bh: int, nblocks: int):
     i = pl.program_id(1)
-    w = a_ref.shape[2]
+    wp = a_ref.shape[2]          # W + 2 (inputs are W-padded by the caller)
+    w = wp - 2
     c = a_ref.shape[3]
     hid = w1_ref.shape[1]
     half = hid // 2
     dt = a_ref.dtype
 
+    # row assembly concatenates along the outer dim only (sublane/lane-dim
+    # concats miscompile on this Mosaic build at sub-128 lane widths)
     ya = jnp.concatenate([at_ref[0].astype(jnp.float32),
                           a_ref[0].astype(jnp.float32),
                           ab_ref[0].astype(jnp.float32)], axis=0)
     yx = jnp.concatenate([xt_ref[0].astype(jnp.float32),
                           x_ref[0].astype(jnp.float32),
                           xb_ref[0].astype(jnp.float32)], axis=0)
-    y = (ya + yx).reshape((bh + 2) * w, c)
+    y = (ya + yx).reshape((bh + 2) * wp, c)
 
     l = _ln(y, lnw_ref[0], lnb_ref[0]).astype(dt)
     h = jnp.dot(l, w1_ref[:], preferred_element_type=jnp.float32)
     h = _gelu_exact(h + b1_ref[0])
     x1 = h[:, :half]
-    x2 = _ln(h[:, half:], sgw_ref[0], sgb_ref[0]).reshape(bh + 2, w, half)
+    x2 = _ln(h[:, half:], sgw_ref[0], sgb_ref[0]).reshape(bh + 2, wp, half)
 
-    # zero the halo rows of the conv input at image boundaries (SAME pad)
+    # zero the halo rows/cols of the conv input (SAME zero padding)
     top_live = (i > 0).astype(jnp.float32)
     bot_live = (i < nblocks - 1).astype(jnp.float32)
-    x2 = jnp.concatenate([x2[0:1] * top_live, x2[1:bh + 1],
-                          x2[bh + 1:bh + 2] * bot_live], axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp, 1), 1)
+    live = (jnp.where(rows == 0, top_live, 1.0)
+            * jnp.where(rows == bh + 1, bot_live, 1.0)
+            * ((cols >= 1) & (cols <= w)).astype(jnp.float32))
+    x2 = x2 * live
 
-    zcol = jnp.zeros((bh + 2, 1, half), jnp.float32)
-    tp = jnp.concatenate([zcol, x2, zcol], axis=1)
     acc = jnp.zeros((bh, w, half), jnp.float32)
     for dr in range(3):
         for dc in range(3):
-            acc = acc + tp[dr:dr + bh, dc:dc + w, :] * wdw_ref[dr * 3 + dc]
+            acc = acc + x2[dr:dr + bh, dc:dc + w, :] * wdw_ref[dr * 3 + dc]
     acc = acc + bdw_ref[0]
 
-    x1c = x1.reshape(bh + 2, w, half)[1:bh + 1].reshape(bh * w, half)
+    x1c = x1.reshape(bh + 2, wp, half)[1:bh + 1, 1:w + 1].reshape(
+        bh * w, half)
     gated = (x1c * acc.reshape(bh * w, half)).astype(dt)
     out = jnp.dot(gated, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[0]
-    yc = y.reshape(bh + 2, w, c)[1:bh + 1].reshape(bh * w, c)
+    yc = y.reshape(bh + 2, wp, c)[1:bh + 1, 1:w + 1].reshape(bh * w, c)
     o_ref[0] = (yc + out).reshape(bh, w, c).astype(o_ref.dtype)
 
 
@@ -81,30 +87,32 @@ def fused_sgfn_tail(a, shortcut, ln_w, ln_b, w1, b1, sg_w, sg_b,
     b, h, w, c = a.shape
     hid = w1.shape[-1]
     half = hid // 2
+    ap = jnp.pad(a, [(0, 0), (0, 0), (1, 1), (0, 0)])
+    sp = jnp.pad(shortcut, [(0, 0), (0, 0), (1, 1), (0, 0)])
+    wp = w + 2
 
-    budget = 1_000_000
-    target = max(1, budget // (w * hid * 4))
-    bh = 1
-    for d in range(1, h + 1):
-        if h % d == 0 and d <= target:
-            bh = d
+    from .nafblock import _pick_bh
+    # strips hold ya+yx [2c] + h [hid] + x2/acc [2·hid/2] + out [c] in f32
+    bh = _pick_bh(h, wp, (c, c, hid, half, half, c))
     nb = h // bh
     grid = (b, nb)
 
     f32 = lambda t: t.astype(jnp.float32)
     const = lambda *shape: (lambda bi, i: tuple(0 for _ in shape))
     vec = lambda m: pl.BlockSpec((1, m), const(0, 0), memory_space=pltpu.VMEM)
+    img_in = pl.BlockSpec((1, bh, wp, c), lambda bi, i: (bi, i, 0, 0),
+                          memory_space=pltpu.VMEM)
     img = pl.BlockSpec((1, bh, w, c), lambda bi, i: (bi, i, 0, 0),
                        memory_space=pltpu.VMEM)
-    row_t = pl.BlockSpec((1, 1, w, c),
+    row_t = pl.BlockSpec((1, 1, wp, c),
                          lambda bi, i: (bi, jnp.maximum(i * bh - 1, 0), 0, 0),
                          memory_space=pltpu.VMEM)
-    row_b = pl.BlockSpec((1, 1, w, c),
+    row_b = pl.BlockSpec((1, 1, wp, c),
                          lambda bi, i: (bi, jnp.minimum(i * bh + bh, h - 1),
                                         0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [
-        img, img, row_t, row_t, row_b, row_b,
+        img_in, img_in, row_t, row_t, row_b, row_b,
         vec(c), vec(c),
         pl.BlockSpec((c, hid), const(0, 0), memory_space=pltpu.VMEM),
         vec(hid),
@@ -126,7 +134,7 @@ def fused_sgfn_tail(a, shortcut, ln_w, ln_b, w1, b1, sg_w, sg_b,
             bytes_accessed=3 * a.size * a.dtype.itemsize,
             transcendentals=b * h * w * hid),
         interpret=interpret,
-    )(a, shortcut, a, shortcut, a, shortcut,
+    )(ap, sp, ap, sp, ap, sp,
       f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),
       w1, f32(b1).reshape(1, -1),
       f32(sg_w).reshape(1, -1), f32(sg_b).reshape(1, -1),
