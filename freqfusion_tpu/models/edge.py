@@ -49,28 +49,84 @@ class SpatialEdgeAttention(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, x):
-        a = nn.Conv(self.channels // 4, (1, 1), name="fc1")(x)
-        a = jax.nn.sigmoid(nn.Conv(1, (3, 3), name="fc2")(gelu(a)))
-        return x * a
+    def __call__(self, x=None, raw: bool = False):
+        from .nafnet import _ConvParams
+        c = self.channels
+        w1, b1 = _ConvParams((1, 1, c, c // 4), name="fc1")()
+        w2, b2 = _ConvParams((3, 3, c // 4, 1), name="fc2")()
+        if raw:
+            return w1, b1, w2, b2
+        a = jax.lax.conv_general_dilated(
+            x, w1.astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1
+        a = jax.lax.conv_general_dilated(
+            gelu(a), w2.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b2
+        return x * jax.nn.sigmoid(a)
 
 
 class EdgeRefineBlock(nn.Module):
+    """proj-residual 3-conv refiner + spatial gate.
+
+    With `use_pallas` (TPU, eval) the whole block runs as two strip-resident
+    conv-chain kernels (ops/pallas/stencil.py) — at the ×4-upsampled
+    resolution these 32-channel conv stacks are pure HBM round trips in XLA
+    (probe_head.py: edge enhancement ≈ 39 ms of the head's 136 at 192²×2).
+    """
+
     feat_ch: int = 32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        identity = nn.Conv(self.feat_ch, (1, 1), name="proj")(x)
-        h = gelu(nn.Conv(self.feat_ch, (3, 3), name="conv1")(x))
-        h = gelu(nn.Conv(self.feat_ch, (3, 3), name="conv2")(h))
-        h = nn.Conv(self.feat_ch, (3, 3), name="conv3")(h)
-        return SpatialEdgeAttention(self.feat_ch, name="attn")(h + identity)
+        from .nafnet import _ConvParams
+        cin, fc = x.shape[-1], self.feat_ch
+        wp, bp = _ConvParams((1, 1, cin, fc), name="proj")()
+        w1, b1 = _ConvParams((3, 3, cin, fc), name="conv1")()
+        w2, b2 = _ConvParams((3, 3, fc, fc), name="conv2")()
+        w3, b3 = _ConvParams((3, 3, fc, fc), name="conv3")()
+        attn = SpatialEdgeAttention(fc, name="attn")
+        wa1, ba1, wa2, ba2 = attn(raw=True)
+
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu"
+                and x.shape[1] % 2 == 0):
+            from ..ops.pallas.stencil import run_conv_chain
+            h = run_conv_chain(
+                x,
+                ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
+                     {"kind": "conv3", "wi": 1, "act": "gelu"}],
+                weights=[(w1, b1), (w2, b2)], k=2, out_channels=fc)
+            return run_conv_chain(
+                h,
+                ops=[{"kind": "conv3", "wi": 0, "act": None},
+                     {"kind": "conv1_aux", "wi": 1, "act": None, "add": True},
+                     {"kind": "save", "slot": 0},
+                     {"kind": "conv1", "wi": 2, "act": "gelu"},
+                     {"kind": "conv3", "wi": 3, "act": None},
+                     {"kind": "gate_saved", "slot": 0}],
+                weights=[(w3, b3), (wp, bp), (wa1, ba1), (wa2, ba2)],
+                k=2, out_channels=fc, aux=x, aux_channels=cin)
+
+        def conv(t, w, b, kk):
+            pad = [(kk // 2, kk // 2)] * 2
+            return jax.lax.conv_general_dilated(
+                t, w.astype(t.dtype), (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+        identity = conv(x, wp, bp, 1)
+        h = gelu(conv(x, w1, b1, 3))
+        h = gelu(conv(h, w2, b2, 3))
+        h = conv(h, w3, b3, 3) + identity
+        a = jax.nn.sigmoid(conv(gelu(conv(h, wa1, ba1, 1)), wa2, ba2, 3))
+        return h * a
 
 
 class LaplacianEdgeRefinement(nn.Module):
     num_levels: int = 3
     channels: int = 32
     edge_strength_init: float = 0.15
+    use_pallas: bool = False
 
     def _pyramid(self, img) -> List[jnp.ndarray]:
         pyramid = []
@@ -96,19 +152,45 @@ class LaplacianEdgeRefinement(nn.Module):
             lambda k, s: jnp.full(s, 1.0 / self.num_levels), (self.num_levels,)))
         feats = []
         for level, lap in enumerate(pyramid):
-            f = EdgeRefineBlock(self.channels, name=f"edge_refiners_{level}")(lap)
+            f = EdgeRefineBlock(self.channels, self.use_pallas,
+                                name=f"edge_refiners_{level}")(lap)
             if f.shape[1] != h or f.shape[2] != w:
                 f = resize(f, h, w, "bilinear")
             feats.append(f * level_w[level])
 
+        from .nafnet import _ConvParams
         allf = jnp.concatenate(feats, axis=-1)
-        e = gelu(nn.Conv(self.channels, (3, 3), name="fusion_conv1")(allf))
-        edge_map = nn.Conv(3, (3, 3), name="fusion_conv2")(e)
-
-        g = nn.Conv(16, (3, 3), name="gate_conv1")(
-            jnp.concatenate([sr_img, edge_map], axis=-1))
-        gate = jax.nn.sigmoid(nn.Conv(1, (3, 3), name="gate_conv2")(gelu(g)))
-
+        cf = allf.shape[-1]
+        wf1, bf1 = _ConvParams((3, 3, cf, self.channels),
+                               name="fusion_conv1")()
+        wf2, bf2 = _ConvParams((3, 3, self.channels, 3),
+                               name="fusion_conv2")()
+        wg1, bg1 = _ConvParams((3, 3, 6, 16), name="gate_conv1")()
+        wg2, bg2 = _ConvParams((3, 3, 16, 1), name="gate_conv2")()
         strength = self.param("edge_strength",
                               lambda k, s: jnp.asarray(self.edge_strength_init), ())
+
+        fused_path = (self.use_pallas and not self.is_initializing()
+                      and jax.default_backend() == "tpu" and h % 2 == 0)
+        if fused_path:
+            from ..ops.pallas.stencil import run_conv_chain
+            edge_map = run_conv_chain(
+                allf, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
+                           {"kind": "conv3", "wi": 1, "act": None}],
+                weights=[(wf1, bf1), (wf2, bf2)], k=2, out_channels=3)
+            gate = run_conv_chain(
+                jnp.concatenate([sr_img, edge_map], axis=-1),
+                ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
+                     {"kind": "conv3", "wi": 1, "act": "sigmoid"}],
+                weights=[(wg1, bg1), (wg2, bg2)], k=2, out_channels=1)
+        else:
+            def conv(t, w_, b_):
+                return jax.lax.conv_general_dilated(
+                    t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
+
+            edge_map = conv(gelu(conv(allf, wf1, bf1)), wf2, bf2)
+            g = conv(jnp.concatenate([sr_img, edge_map], axis=-1), wg1, bg1)
+            gate = jax.nn.sigmoid(conv(gelu(g), wg2, bg2))
+
         return jnp.clip(sr_img + gate * strength * edge_map, 0.0, 1.0)

@@ -125,23 +125,52 @@ def expected_psnr_gain(cfg: FusionConfig) -> float:
 
 class RefineNet(nn.Module):
     """Phase-7 refinement: depth-D conv+GELU stack (0.1-scaled residual) +
-    learnable bilinear LR residual + clamp."""
+    learnable bilinear LR residual + clamp. With `use_pallas` (TPU eval)
+    the conv stack runs as strip-resident chain kernels."""
 
     depth: int = 4
     channels: int = 64
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, fused, lr):
-        h = fused
+        from .nafnet import _ConvParams
+        ws = []
+        cin = fused.shape[-1]
         for i in range(self.depth):
-            if i == self.depth - 1:
-                h = nn.Conv(3, (3, 3), name=f"refine_{i}")(h)
-            else:
-                h = gelu(nn.Conv(self.channels, (3, 3), name=f"refine_{i}")(h))
-        fused = fused + 0.1 * h
+            cout = 3 if i == self.depth - 1 else self.channels
+            ws.append(_ConvParams((3, 3, cin, cout), name=f"refine_{i}")())
+            cin = cout
         residual_scale = self.param("residual_scale",
                                     lambda k, s: jnp.asarray(0.1), ())
         up = resize(lr, fused.shape[1], fused.shape[2], "bilinear")
+
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu"
+                and fused.shape[1] % 2 == 0 and self.depth % 2 == 0):
+            from ..ops.pallas.stencil import run_conv_chain
+            h = fused
+            for i in range(0, self.depth, 2):
+                acts = ["gelu" if j < self.depth - 1 else None
+                        for j in (i, i + 1)]
+                h = run_conv_chain(
+                    h, ops=[{"kind": "conv3", "wi": 0, "act": acts[0]},
+                            {"kind": "conv3", "wi": 1, "act": acts[1]}],
+                    weights=[ws[i], ws[i + 1]], k=2,
+                    out_channels=ws[i + 1][0].shape[-1])
+            return jnp.clip(fused + 0.1 * h + residual_scale * up, 0.0, 1.0)
+
+        def conv(t, w_, b_):
+            return jax.lax.conv_general_dilated(
+                t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
+
+        h = fused
+        for i, (w_, b_) in enumerate(ws):
+            h = conv(h, w_, b_)
+            if i < self.depth - 1:
+                h = gelu(h)
+        fused = fused + 0.1 * h
         return jnp.clip(fused + residual_scale * up, 0.0, 1.0)
 
 
@@ -184,7 +213,8 @@ class FusionHead(nn.Module):
         # (enhanced_fusion.py:243-260 / :545-586).
         if cfg.enable_hierarchical:
             self.multi_res_fusion = HierarchicalFusion(
-                num_experts=cfg.num_experts, base_channels=cfg.fusion_dim)
+                num_experts=cfg.num_experts, base_channels=cfg.fusion_dim,
+                use_pallas=cfg.use_pallas)
         elif cfg.enable_multi_resolution:
             self.multi_res_fusion = MultiResolutionFusion(
                 num_experts=cfg.num_experts, base_channels=cfg.fusion_dim)
@@ -205,8 +235,9 @@ class FusionHead(nn.Module):
             self.dynamic_selector = DynamicExpertSelector(
                 hidden_dim=cfg.fusion_dim, num_experts=cfg.num_experts)
 
-        self.refine_net = RefineNet(cfg.refine_depth, cfg.refine_channels)
-        self.edge_refine = (LaplacianEdgeRefinement()
+        self.refine_net = RefineNet(cfg.refine_depth, cfg.refine_channels,
+                                    use_pallas=cfg.use_pallas)
+        self.edge_refine = (LaplacianEdgeRefinement(use_pallas=cfg.use_pallas)
                             if cfg.enable_edge_enhance else None)
 
     # ----- Phase 2+3 ------------------------------------------------------

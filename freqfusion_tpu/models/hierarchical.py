@@ -25,10 +25,17 @@ class SpatialGate(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, x):
-        g = nn.Conv(self.channels // 4, (1, 1), name="fc1")(x)
-        g = jax.nn.sigmoid(nn.Conv(1, (1, 1), name="fc2")(gelu(g)))
-        return x * g
+    def __call__(self, x=None, raw: bool = False):
+        from .nafnet import _ConvParams
+        c = self.channels
+        w1, b1 = _ConvParams((1, 1, c, c // 4), name="fc1")()
+        w2, b2 = _ConvParams((1, 1, c // 4, 1), name="fc2")()
+        if raw:
+            return w1, b1, w2, b2
+        g = jnp.einsum("bhwc,cd->bhwd", x, w1.reshape(c, c // 4)) + b1
+        g = jnp.einsum("bhwc,cd->bhwd", gelu(g),
+                       w2.reshape(c // 4, 1)) + b2
+        return x * jax.nn.sigmoid(g)
 
 
 class ResBlock(nn.Module):
@@ -37,23 +44,77 @@ class ResBlock(nn.Module):
     channels: int
 
     @nn.compact
-    def __call__(self, x):
-        h = nn.Conv(self.channels, (3, 3), use_bias=False, name="conv1")(x)
-        h = nn.Conv(self.channels, (3, 3), use_bias=False, name="conv2")(gelu(h))
+    def __call__(self, x=None, raw: bool = False):
+        from .nafnet import _ConvParams
+        c = self.channels
+        w1, _ = _ConvParams((3, 3, c, c), use_bias=False, name="conv1")()
+        w2, _ = _ConvParams((3, 3, c, c), use_bias=False, name="conv2")()
         scale = self.param("scale", lambda k, s: jnp.asarray(0.1), ())
+        if raw:
+            return w1, w2, scale
+
+        def conv(t, w):
+            return jax.lax.conv_general_dilated(
+                t, w.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        h = conv(gelu(conv(x, w1)), w2)
         return x + scale * h
 
 
 class _Stage(nn.Module):
+    """conv+GELU ×2 → SpatialGate → ResBlock. With `use_pallas` (TPU eval)
+    the stage runs as two strip-resident conv-chain kernels
+    (ops/pallas/stencil.py) — these HR small-channel stacks are HBM-bound
+    in XLA (probe_head.py: hierarchical ≈ 31 ms of the head at 192²×2)."""
+
     out1: int
     out2: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = gelu(nn.Conv(self.out1, (3, 3), name="conv1")(x))
-        x = gelu(nn.Conv(self.out2, (3, 3), name="conv2")(x))
-        x = SpatialGate(self.out2, name="gate")(x)
-        return ResBlock(self.out2, name="res")(x)
+        from .nafnet import _ConvParams
+        cin = x.shape[-1]
+        w1, b1 = _ConvParams((3, 3, cin, self.out1), name="conv1")()
+        w2, b2 = _ConvParams((3, 3, self.out1, self.out2), name="conv2")()
+        gate = SpatialGate(self.out2, name="gate")
+        res = ResBlock(self.out2, name="res")
+
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu"
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            from ..ops.pallas.stencil import run_conv_chain
+            g1, gb1, g2, gb2 = gate(raw=True)
+            r1, r2, rscale = res(raw=True)
+            h = run_conv_chain(
+                x, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
+                        {"kind": "conv3", "wi": 1, "act": "gelu"}],
+                weights=[(w1, b1), (w2, b2)], k=2, out_channels=self.out2)
+            return run_conv_chain(
+                h,
+                ops=[{"kind": "save", "slot": 0},
+                     {"kind": "conv1", "wi": 0, "act": "gelu"},
+                     {"kind": "conv1", "wi": 1, "act": None},
+                     {"kind": "gate_saved", "slot": 0},
+                     {"kind": "save", "slot": 1},
+                     {"kind": "conv3", "wi": 2, "act": "gelu"},
+                     {"kind": "conv3", "wi": 3, "act": None},
+                     {"kind": "load_add", "slot": 1, "scale_wi": 4}],
+                weights=[(g1, gb1), (g2, gb2), (r1, None), (r2, None),
+                         (rscale, None)],
+                k=2, out_channels=self.out2)
+
+        def conv(t, w_, b_):
+            o = jax.lax.conv_general_dilated(
+                t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return o if b_ is None else o + b_
+
+        x = gelu(conv(x, w1, b1))
+        x = gelu(conv(x, w2, b2))
+        x = gate(x)
+        return res(x)
 
 
 class HierarchicalFusion(nn.Module):
@@ -61,6 +122,7 @@ class HierarchicalFusion(nn.Module):
 
     num_experts: int = 3
     base_channels: int = 64
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, expert_outputs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -71,20 +133,36 @@ class HierarchicalFusion(nn.Module):
         bc = self.base_channels
 
         s1_in = resize(stack, h1, w1, "bilinear")
-        f1 = _Stage(bc, bc, name="stage1")(s1_in)
+        f1 = _Stage(bc, bc, self.use_pallas, name="stage1")(s1_in)
 
         f1_up = resize(f1, h2, w2, "bilinear")
         s2_in = jnp.concatenate([f1_up, resize(stack, h2, w2, "bilinear")], axis=-1)
-        f2 = _Stage(bc, bc, name="stage2")(s2_in)
+        f2 = _Stage(bc, bc, self.use_pallas, name="stage2")(s2_in)
         rw12 = self.param("residual_weight_1_2", lambda k, s: jnp.asarray(0.2), ())
         f2 = f2 + rw12 * f1_up
 
         f2_up = resize(f2, h, w, "bilinear")
         s3_in = jnp.concatenate([f2_up, stack], axis=-1)
-        f3 = _Stage(bc, bc // 2, name="stage3")(s3_in)
+        f3 = _Stage(bc, bc // 2, self.use_pallas, name="stage3")(s3_in)
         rw23 = self.param("residual_weight_2_3", lambda k, s: jnp.asarray(0.2), ())
         f3 = f3 + rw23 * f2_up[..., : bc // 2]
 
-        out = gelu(nn.Conv(bc // 4, (3, 3), name="to_rgb_conv1")(f3))
-        out = nn.Conv(3, (3, 3), name="to_rgb_conv2")(out)
+        from .nafnet import _ConvParams
+        wr1, br1 = _ConvParams((3, 3, bc // 2, bc // 4),
+                               name="to_rgb_conv1")()
+        wr2, br2 = _ConvParams((3, 3, bc // 4, 3), name="to_rgb_conv2")()
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu" and h % 2 == 0):
+            from ..ops.pallas.stencil import run_conv_chain
+            return run_conv_chain(
+                f3, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
+                         {"kind": "conv3", "wi": 1, "act": "sigmoid"}],
+                weights=[(wr1, br1), (wr2, br2)], k=2, out_channels=3)
+
+        def conv(t, w_, b_):
+            return jax.lax.conv_general_dilated(
+                t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
+
+        out = conv(gelu(conv(f3, wr1, br1)), wr2, br2)
         return jax.nn.sigmoid(out)

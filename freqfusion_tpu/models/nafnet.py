@@ -54,11 +54,14 @@ class _ConvParams(nn.Module):
     Pallas path shares the checkpoint tree with the XLA chain."""
 
     shape: Tuple[int, int, int, int]  # (kh, kw, in, out) HWIO
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", nn.initializers.lecun_normal(batch_axis=(),
                        in_axis=-2, out_axis=-1), self.shape)
+        if not self.use_bias:
+            return k, None
         b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
         return k, b
 

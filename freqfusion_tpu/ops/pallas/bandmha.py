@@ -105,9 +105,11 @@ def fused_band_mha(stacked, wqkv, bqkv, wproj, bproj, ln_w, ln_b,
     m, r, z = _masks(t, d, num_heads)
 
     # every op inside is pointwise over pixels; strips hold ~6 lane-padded
-    # [T·D]-wide tensors (x, k_cat, v_cat, q_rep, p_exp, out) in f32
+    # [T·D]-wide tensors (x, k_cat, v_cat, q_rep, p_exp, out) PLUS the 3·T
+    # per-band q/k/v pieces (each lane-padded to 128) in f32
     from .nafblock import _pick_bh
-    bh = _pick_bh(h, w, (t * d,) * 6, budget_bytes=6_000_000)
+    bh = _pick_bh(h, w, (t * d,) * 6 + (d,) * (3 * t),
+                  budget_bytes=6_000_000)
     grid = (b, h // bh)
 
     f32 = lambda a: a.astype(jnp.float32)

@@ -138,8 +138,8 @@ def naf_block_stage_a(x, ln_w, ln_b, w1, b1, wdw, bdw,
     """
     b, h, w, c = x.shape
     dw = w1.shape[-1]
-    # strips hold xa [c] + t [dw] + mask/acc [2·dw] rows in f32
-    bh = _pick_bh(h, w + 2, (c, dw, dw, dw))
+    # strips hold xa + its LN copy [2c] + t [dw] + iota masks + acc [3·dw]
+    bh = _pick_bh(h, w + 2, (c, c, dw, dw, dw, dw))
     nb = h // bh
     grid = (b, nb)
     xp = jnp.pad(x, [(0, 0), (0, 0), (1, 1), (0, 0)])

@@ -1,0 +1,89 @@
+"""Strip-resident conv-chain engine: interpret-mode exactness vs the XLA
+module paths it replaces."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from freqfusion_tpu.models.edge import EdgeRefineBlock
+
+
+def _perturb(params, seed=11):
+    return jax.tree_util.tree_map(
+        lambda a: a + 0.07 * jax.random.normal(
+            jax.random.PRNGKey(hash(str(a.shape)) % 991 + seed), a.shape),
+        params)
+
+
+def test_edge_refine_block_chain_matches_xla():
+    for h, w, cin, seed in ((16, 24, 3, 0), (8, 8, 32, 3)):
+        m = EdgeRefineBlock(32)
+        x = jax.random.normal(jax.random.PRNGKey(seed), (2, h, w, cin)) * 0.4
+        variables = m.init(jax.random.PRNGKey(seed + 1), x)
+        p = _perturb(variables["params"])
+        want = m.apply({"params": p}, x)
+
+        from freqfusion_tpu.ops.pallas.stencil import run_conv_chain
+        w1, b1 = p["conv1"]["kernel"], p["conv1"]["bias"]
+        w2, b2 = p["conv2"]["kernel"], p["conv2"]["bias"]
+        w3, b3 = p["conv3"]["kernel"], p["conv3"]["bias"]
+        wp_, bp_ = p["proj"]["kernel"], p["proj"]["bias"]
+        wa1, ba1 = p["attn"]["fc1"]["kernel"], p["attn"]["fc1"]["bias"]
+        wa2, ba2 = p["attn"]["fc2"]["kernel"], p["attn"]["fc2"]["bias"]
+        hmid = run_conv_chain(
+            x, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
+                    {"kind": "conv3", "wi": 1, "act": "gelu"}],
+            weights=[(w1, b1), (w2, b2)], k=2, out_channels=32,
+            interpret=True)
+        got = run_conv_chain(
+            hmid,
+            ops=[{"kind": "conv3", "wi": 0, "act": None},
+                 {"kind": "conv1_aux", "wi": 1, "act": None, "add": True},
+                 {"kind": "save", "slot": 0},
+                 {"kind": "conv1", "wi": 2, "act": "gelu"},
+                 {"kind": "conv3", "wi": 3, "act": None},
+                 {"kind": "gate_saved", "slot": 0}],
+            weights=[(w3, b3), (wp_, bp_), (wa1, ba1), (wa2, ba2)],
+            k=2, out_channels=32, aux=x, aux_channels=cin, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_stage_chain_matches_xla():
+    """_Stage's two-kernel chain (gate 1x1s, gate_saved, ResBlock with
+    traced residual scale) vs the module's XLA path."""
+    from freqfusion_tpu.models.hierarchical import _Stage
+    from freqfusion_tpu.ops.pallas.stencil import run_conv_chain
+
+    m = _Stage(24, 16)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 12, 20, 11)) * 0.4
+    variables = m.init(jax.random.PRNGKey(8), x)
+    p = _perturb(variables["params"], seed=21)
+    # give the zero-init-ish params real values for a meaningful test
+    want = m.apply({"params": p}, x)
+
+    w1, b1 = p["conv1"]["kernel"], p["conv1"]["bias"]
+    w2, b2 = p["conv2"]["kernel"], p["conv2"]["bias"]
+    g1, gb1 = p["gate"]["fc1"]["kernel"], p["gate"]["fc1"]["bias"]
+    g2, gb2 = p["gate"]["fc2"]["kernel"], p["gate"]["fc2"]["bias"]
+    r1 = p["res"]["conv1"]["kernel"]
+    r2 = p["res"]["conv2"]["kernel"]
+    rs = p["res"]["scale"]
+    h = run_conv_chain(
+        x, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
+                {"kind": "conv3", "wi": 1, "act": "gelu"}],
+        weights=[(w1, b1), (w2, b2)], k=2, out_channels=16, interpret=True)
+    got = run_conv_chain(
+        h,
+        ops=[{"kind": "save", "slot": 0},
+             {"kind": "conv1", "wi": 0, "act": "gelu"},
+             {"kind": "conv1", "wi": 1, "act": None},
+             {"kind": "gate_saved", "slot": 0},
+             {"kind": "save", "slot": 1},
+             {"kind": "conv3", "wi": 2, "act": "gelu"},
+             {"kind": "conv3", "wi": 3, "act": None},
+             {"kind": "load_add", "slot": 1, "scale_wi": 4}],
+        weights=[(g1, gb1), (g2, gb2), (r1, None), (r2, None), (rs, None)],
+        k=2, out_channels=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
