@@ -61,14 +61,16 @@ def _kernel_a(x_ref, xt_ref, xb_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
     t = jnp.dot(t.reshape((bh + 2) * wp, c).astype(dt), w1_ref[:],
                 preferred_element_type=jnp.float32)
     t = (t + b1_ref[0]).reshape(bh + 2, wp, dw)
+    # separable masks: [R,1,1]/[1,W,1] iotas stay tiny after lane padding —
+    # full [R,W,1] mask tensors were ~2 MB each and blew the VMEM stack
     top_live = (i > 0).astype(jnp.float32)
     bot_live = (i < nblocks - 1).astype(jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp, 1), 1)
-    live = (jnp.where(rows == 0, top_live, 1.0)
-            * jnp.where(rows == bh + 1, bot_live, 1.0)
-            * ((cols >= 1) & (cols <= w)).astype(jnp.float32))
-    t = t * live
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, 1, 1), 0)
+    rlive = (jnp.where(rows == 0, top_live, 1.0)
+             * jnp.where(rows == bh + 1, bot_live, 1.0))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+    clive = ((cols >= 1) & (cols <= w)).astype(jnp.float32)
+    t = t * rlive * clive
 
     acc = jnp.zeros((bh, w, dw), jnp.float32)
     for dr in range(3):

@@ -53,15 +53,16 @@ def _kernel(a_ref, x_ref, at_ref, xt_ref, ab_ref, xb_ref,
     x1 = h[:, :half]
     x2 = _ln(h[:, half:], sgw_ref[0], sgb_ref[0]).reshape(bh + 2, wp, half)
 
-    # zero the halo rows/cols of the conv input (SAME zero padding)
+    # zero the halo rows/cols of the conv input (SAME zero padding);
+    # separable [R,1,1]/[1,W,1] masks stay tiny after lane padding
     top_live = (i > 0).astype(jnp.float32)
     bot_live = (i < nblocks - 1).astype(jnp.float32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, wp, 1), 1)
-    live = (jnp.where(rows == 0, top_live, 1.0)
-            * jnp.where(rows == bh + 1, bot_live, 1.0)
-            * ((cols >= 1) & (cols <= w)).astype(jnp.float32))
-    x2 = x2 * live
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh + 2, 1, 1), 0)
+    rlive = (jnp.where(rows == 0, top_live, 1.0)
+             * jnp.where(rows == bh + 1, bot_live, 1.0))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+    clive = ((cols >= 1) & (cols <= w)).astype(jnp.float32)
+    x2 = x2 * rlive * clive
 
     acc = jnp.zeros((bh, w, half), jnp.float32)
     for dr in range(3):

@@ -70,13 +70,15 @@ def _kernel(*refs, ops, k: int, bh: int, h: int, w: int, n_weights: int,
     slots = {}
 
     def mask_oob(a, m):
-        """Zero positions outside the image (exact SAME-padding semantics)."""
-        rows = jax.lax.broadcasted_iota(jnp.int32, a.shape[:2] + (1,), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, a.shape[:2] + (1,), 1)
+        """Zero positions outside the image (exact SAME-padding semantics).
+        Separable [R,1,1]/[1,W,1] masks stay tiny after lane padding."""
+        rows = jax.lax.broadcasted_iota(jnp.int32, (a.shape[0], 1, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, a.shape[1], 1), 1)
         grow = i * bh - m + rows
         gcol = cols - m
-        live = ((grow >= 0) & (grow < h) & (gcol >= 0) & (gcol < w))
-        return a * live.astype(jnp.float32)
+        rlive = ((grow >= 0) & (grow < h)).astype(jnp.float32)
+        clive = ((gcol >= 0) & (gcol < w)).astype(jnp.float32)
+        return a * rlive * clive
 
     def center(a, am):
         """Slice an array saved at margin `am` down to margin `m`."""
