@@ -95,25 +95,66 @@ class ChannelAttention(nn.Module):
     squeeze: int = 16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None, raw: bool = False):
+        from .nafnet import _ConvParams
+        c = self.features
+        w1, b1 = _ConvParams((1, 1, c, c // self.squeeze), name="fc1")()
+        w2, b2 = _ConvParams((1, 1, c // self.squeeze, c), name="fc2")()
+        if raw:
+            return w1, b1, w2, b2
         y = jnp.mean(x, axis=(1, 2), keepdims=True)
-        y = jax.nn.relu(nn.Conv(self.features // self.squeeze, (1, 1), name="fc1")(y))
-        y = jax.nn.sigmoid(nn.Conv(self.features, (1, 1), name="fc2")(y))
+        y = jax.nn.relu(jnp.einsum(
+            "bhwc,cd->bhwd", y, w1.reshape(c, -1)) + b1)
+        y = jax.nn.sigmoid(jnp.einsum(
+            "bhwc,cd->bhwd", y, w2.reshape(-1, c)) + b2)
         return x * y
 
 
 class CAB(nn.Module):
-    """Conv attention branch of HAB: 3×3 (C→C/compress) → GELU → 3×3 → CA."""
+    """Conv attention branch of HAB: 3×3 (C→C/compress) → GELU → 3×3 → CA.
+
+    `pre(x)` (TPU eval) runs LN1 + the two convs as one strip-resident chain
+    kernel and returns (pre_CA tensor, CA scale [B,1,1,C]) so the fused HAB
+    kernel can apply the scale in-register (models/hat.py HAB)."""
 
     features: int
     compress: int = 3
     squeeze: int = 30
 
     @nn.compact
-    def __call__(self, x):
-        x = gelu(nn.Conv(self.features // self.compress, (3, 3), name="conv1")(x))
-        x = nn.Conv(self.features, (3, 3), name="conv2")(x)
-        return ChannelAttention(self.features, self.squeeze, name="ca")(x)
+    def __call__(self, x, ln=None, chain: bool = False):
+        from .nafnet import _ConvParams
+        c = self.features
+        mid = c // self.compress
+        w1, b1 = _ConvParams((3, 3, c, mid), name="conv1")()
+        w2, b2 = _ConvParams((3, 3, mid, c), name="conv2")()
+        ca = ChannelAttention(c, self.squeeze, name="ca")
+        ca_w1, ca_b1, ca_w2, ca_b2 = ca(raw=True)
+
+        if chain:
+            # x is RAW (pre-LN1); ln = (scale, bias) of norm1
+            from ..ops.pallas.stencil import run_conv_chain
+            pre = run_conv_chain(
+                x, ops=[{"kind": "ln", "wi": 0},
+                        {"kind": "conv3", "wi": 1, "act": "gelu"},
+                        {"kind": "conv3", "wi": 2, "act": None}],
+                weights=[(ln[0], ln[1]), (w1, b1), (w2, b2)],
+                k=2, out_channels=c)
+            pooled = jnp.mean(pre, axis=(1, 2), keepdims=True)
+            y = jax.nn.relu(jnp.einsum(
+                "bhwc,cd->bhwd", pooled, ca_w1.reshape(c, -1)) + ca_b1)
+            scale = jax.nn.sigmoid(jnp.einsum(
+                "bhwc,cd->bhwd", y, ca_w2.reshape(-1, c)) + ca_b2)
+            return pre, scale
+
+        def conv(t, w_, b_):
+            return jax.lax.conv_general_dilated(
+                t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
+
+        x = gelu(conv(x, w1, b1))
+        x = conv(x, w2, b2)
+        return ca(x)
 
 
 class WindowAttention(nn.Module):
@@ -203,21 +244,24 @@ class HAB(nn.Module):
         mlp = Mlp(int(c * self.mlp_ratio), c, name="mlp")
 
         shortcut = x
-        x_ln = apply_ln(x, ln1_w, ln1_b)
-        conv_x = CAB(c, self.compress, self.squeeze, name="conv_block")(x_ln)
+        cab = CAB(c, self.compress, self.squeeze, name="conv_block")
         mask = (W.shift_attn_mask(h, w, self.window, self.window,
                                   self.shift, self.shift)
                 if self.shift > 0 else None)
 
         if (self.use_pallas and not self.is_initializing()
-                and jax.default_backend() == "tpu" and self.window >= 8):
+                and jax.default_backend() == "tpu" and self.window >= 8
+                and h % 2 == 0 and w % 2 == 0):
             # whole-block fused kernel (LN1+W-MSA+residuals+LN2+MLP); the CAB
-            # conv branch stays XLA (MXU-bound). Residuals commute with the
-            # shift roll, so shifted blocks run entirely in rolled coords.
-            wqkv, bqkv, wproj, bproj, bias = attn_mod(x_ln, raw=True)
-            k1, b1, k2, b2 = mlp(x_ln, raw=True)
+            # conv branch runs as a strip-resident LN+conv chain whose CA
+            # gate is applied in-register inside the HAB kernel. Residuals
+            # commute with the shift roll, so shifted blocks run entirely in
+            # rolled coordinates.
+            cab_pre, ca_scale = cab(x, ln=(ln1_w, ln1_b), chain=True)
+            wqkv, bqkv, wproj, bproj, bias = attn_mod(x, raw=True)
+            k1, b1, k2, b2 = mlp(x, raw=True)
             from ..ops.pallas.wattn import fused_hab_block
-            xs, cxs = shortcut, conv_x
+            xs, cxs = shortcut, cab_pre
             if self.shift > 0:
                 sh = (-self.shift, -self.shift)
                 xs = jnp.roll(xs, sh, axis=(1, 2))
@@ -225,11 +269,14 @@ class HAB(nn.Module):
             out = fused_hab_block(
                 xs, cxs, ln1_w, ln1_b, ln2_w, ln2_b, wqkv, bqkv, wproj,
                 bproj, k1, b1, k2, b2, bias, mask,
-                (self.window, self.window), self.num_heads, self.conv_scale)
+                (self.window, self.window), self.num_heads, self.conv_scale,
+                cab_scale=ca_scale)
             if self.shift > 0:
                 out = jnp.roll(out, (self.shift, self.shift), axis=(1, 2))
             return out
 
+        x_ln = apply_ln(x, ln1_w, ln1_b)
+        conv_x = cab(x_ln)
         shifted = (jnp.roll(x_ln, (-self.shift, -self.shift), axis=(1, 2))
                    if self.shift > 0 else x_ln)
         shifted = attn_mod(shifted, mask)

@@ -139,6 +139,12 @@ def _kernel(*refs, ops, k: int, bh: int, h: int, w: int, n_weights: int,
                         preferred_element_type=jnp.float32) + bref[0]
             p = _act(p.reshape(sh[0], sh[1], -1), op.get("act"))
             t = t + p if op.get("add") else p
+        elif kind == "ln":
+            wref, bref = wrefs[2 * op["wi"]], wrefs[2 * op["wi"] + 1]
+            sh = t.shape
+            from .wattn import _ln
+            t = _ln(t.reshape(-1, sh[-1]), wref[0],
+                    bref[0]).reshape(sh)
         elif kind == "act":
             t = _act(t, op["fn"])
         elif kind == "add_aux":
@@ -231,6 +237,10 @@ def run_conv_chain(x, ops, weights, k: int, out_channels: int,
             in_specs.append(pl.BlockSpec((1, 1), const(0, 0),
                                          memory_space=pltpu.VMEM))
             flat_w.append(f32(wt).reshape(1, 1))
+        elif wt.ndim == 1:                           # LN scale etc.
+            in_specs.append(pl.BlockSpec((1, wt.shape[0]), const(0, 0),
+                                         memory_space=pltpu.VMEM))
+            flat_w.append(f32(wt).reshape(1, -1))
         else:                                        # conv1 / dense
             wk = wt.reshape(wt.shape[-2], wt.shape[-1])
             in_specs.append(pl.BlockSpec(wk.shape, const(0, 0),

@@ -132,10 +132,12 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 bias_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref, *rest, wsh: int, wsw: int,
                 num_heads: int, head_dim: int, gh: int, has_mask: bool,
-                conv_scale: float):
+                has_ca: bool, conv_scale: float):
     """Whole HAB minus the CAB convs: LN1 → W-MSA (+proj) → residual combine
     with the precomputed CAB branch → LN2 → MLP → residual, one HBM read of
     (x, conv_x) and one write. See HAB in models/hat.py for the XLA chain."""
+    rest = list(rest)
+    ca_ref = rest.pop(0) if has_ca else None
     if has_mask:
         mask_ref, o_ref = rest
     else:
@@ -169,9 +171,10 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         pr = jnp.dot(wout, wproj_ref[:], preferred_element_type=jnp.float32)
         pr = pr + bproj_ref[0]
         rows = slice(g * n, (g + 1) * n)
-        y = (xb[rows].astype(jnp.float32) + pr
-             + cx_ref[0].reshape(gh * n, c)[rows].astype(jnp.float32)
-             * conv_scale)
+        cx = cx_ref[0].reshape(gh * n, c)[rows].astype(jnp.float32)
+        if has_ca:
+            cx = cx * ca_ref[0, 0, 0]
+        y = xb[rows].astype(jnp.float32) + pr + cx * conv_scale
         ln2 = _ln(y, ln2w_ref[0], ln2b_ref[0]).astype(dt)
         h1 = jnp.dot(ln2, w1_ref[:], preferred_element_type=jnp.float32)
         h1 = _gelu_exact(h1 + b1_ref[0]).astype(dt)
@@ -192,6 +195,7 @@ def fused_hab_block(
     window: Tuple[int, int],
     num_heads: int,
     conv_scale: float,
+    cab_scale=None,                 # [B,1,1,C] CA gate applied to conv_x
     max_gh: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -244,6 +248,13 @@ def fused_hab_block(
             f32(ln2_w).reshape(1, -1), f32(ln2_b).reshape(1, -1),
             w1, f32(b1).reshape(1, -1), w2, f32(b2).reshape(1, -1)]
 
+    has_ca = cab_scale is not None
+    if has_ca:
+        in_specs.append(pl.BlockSpec((1, 1, 1, c),
+                                     lambda bi, i, j: (bi, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(f32(cab_scale).reshape(-1, 1, 1, c))
+
     has_mask = mask is not None
     if has_mask:
         m = np.asarray(mask).reshape(n_wr, n_wc, n, n)
@@ -255,7 +266,8 @@ def fused_hab_block(
 
     kernel = functools.partial(
         _kernel_hab, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
-        gh=gh, has_mask=has_mask, conv_scale=float(conv_scale))
+        gh=gh, has_mask=has_mask, has_ca=has_ca,
+        conv_scale=float(conv_scale))
     flops_per = (2 * gh * n * c * (4 * cp + 2 * hidden)
                  + 2 * gh * num_heads * n * n * hdp * 2)
     return pl.pallas_call(

@@ -87,3 +87,34 @@ def test_stage_chain_matches_xla():
         k=2, out_channels=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_ln_conv_chain_matches_xla():
+    """The CAB chain: ln op + two 3x3 convs vs apply_ln + lax convs."""
+    from freqfusion_tpu.models.hat import apply_ln, gelu
+    from freqfusion_tpu.ops.pallas.stencil import run_conv_chain
+
+    c, mid = 24, 8
+    keys = jax.random.split(jax.random.PRNGKey(9), 6)
+    x = jax.random.normal(keys[0], (2, 16, 24, c)) * 0.4
+    lnw = 1.0 + jax.random.normal(keys[1], (c,)) * 0.1
+    lnb = jax.random.normal(keys[2], (c,)) * 0.1
+    w1 = jax.random.normal(keys[3], (3, 3, c, mid)) * 0.08
+    b1 = jax.random.normal(keys[4], (mid,)) * 0.02
+    w2 = jax.random.normal(keys[5], (3, 3, mid, c)) * 0.08
+    b2 = jnp.zeros((c,))
+
+    def conv(t, w_, b_):
+        return jax.lax.conv_general_dilated(
+            t, w_, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
+
+    want = conv(gelu(conv(apply_ln(x, lnw, lnb), w1, b1)), w2, b2)
+    got = run_conv_chain(
+        x, ops=[{"kind": "ln", "wi": 0},
+                {"kind": "conv3", "wi": 1, "act": "gelu"},
+                {"kind": "conv3", "wi": 2, "act": None}],
+        weights=[(lnw, lnb), (w1, b1), (w2, b2)], k=2, out_channels=c,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)

@@ -254,3 +254,54 @@ def test_fused_sgfn_tail_matches_module():
         p["fc2"]["kernel"], p["fc2"]["bias"], interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_fused_hab_block_with_ca_scale():
+    """cab_scale applies the CA gate to the conv branch inside the kernel."""
+    from freqfusion_tpu.models.hat import CAB, HAB, apply_ln
+    from freqfusion_tpu.ops.pallas.wattn import fused_hab_block
+
+    c, nh, window = 24, 4, 8
+    m = HAB(dim=c, num_heads=nh, window=window, shift=0, compress=3,
+            squeeze=6, conv_scale=0.01, mlp_ratio=2.0, use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 16, 24, c)) * 0.3
+    variables = m.init(jax.random.PRNGKey(10), x)
+    want = m.apply(variables, x)
+
+    p = variables["params"]
+    ln1w, ln1b = p["norm1"]["scale"], p["norm1"]["bias"]
+    x_ln = apply_ln(x, ln1w, ln1b)
+    cb = p["conv_block"]
+
+    # pre-CA CAB tensor + CA scale, computed the XLA way
+    def conv(t, w_, b_):
+        return jax.lax.conv_general_dilated(
+            t, w_, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
+
+    from freqfusion_tpu.models.hat import gelu
+    pre = conv(gelu(conv(x_ln, cb["conv1"]["kernel"], cb["conv1"]["bias"])),
+               cb["conv2"]["kernel"], cb["conv2"]["bias"])
+    pooled = jnp.mean(pre, axis=(1, 2), keepdims=True)
+    y = jax.nn.relu(jnp.einsum("bhwc,cd->bhwd", pooled,
+                               cb["ca"]["fc1"]["kernel"].reshape(c, -1))
+                    + cb["ca"]["fc1"]["bias"])
+    scale = jax.nn.sigmoid(jnp.einsum(
+        "bhwc,cd->bhwd", y, cb["ca"]["fc2"]["kernel"].reshape(-1, c))
+        + cb["ca"]["fc2"]["bias"])
+
+    n = window * window
+    rpi = W.relative_position_index(window, window).reshape(-1)
+    bias = jnp.transpose(
+        p["attn"]["relative_position_bias_table"][rpi].reshape(n, n, nh),
+        (2, 0, 1))
+    got = fused_hab_block(
+        x, pre, ln1w, ln1b, p["norm2"]["scale"], p["norm2"]["bias"],
+        p["attn"]["qkv_kernel"], p["attn"]["qkv_bias"],
+        p["attn"]["proj_kernel"], p["attn"]["proj_bias"],
+        p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+        p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+        bias, None, (window, window), nh, 0.01, cab_scale=scale,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
