@@ -37,6 +37,10 @@ DTYPE = os.environ.get("FREQFUSION_BENCH_DTYPE", "float32")  # or "bfloat16"
 # fused Pallas window/OCAB attention: default ON (1.5x full-HAT measured);
 # set FREQFUSION_USE_PALLAS=0 to compare against the pure-XLA chain
 USE_PALLAS = os.environ.get("FREQFUSION_USE_PALLAS", "1") == "1"
+# single-dispatch full-image forward (the reference's own default path,
+# io.py:214-231) — skips tile-overlap recompute + per-dispatch overhead.
+# Set FREQFUSION_WHOLE_IMAGE=0 to bench the tiled fallback path instead.
+WHOLE_IMAGE = os.environ.get("FREQFUSION_WHOLE_IMAGE", "1") == "1"
 LR_H, LR_W = 339, 510   # DIV2K ×4 LR size for a 2040×1356 HR image
 
 
@@ -50,7 +54,7 @@ def main():
 
     from freqfusion_tpu.models.experts import FreqFusionSR
     from freqfusion_tpu.models.fusion import FusionConfig
-    from freqfusion_tpu.infer.tiling import tiled_sr, num_tiles
+    from freqfusion_tpu.infer.tiling import tiled_sr, num_tiles, whole_image_sr
 
     kernels = dict(use_pallas=True) if USE_PALLAS else {}
     model = FreqFusionSR(FusionConfig(use_pallas=USE_PALLAS),
@@ -83,17 +87,27 @@ def main():
     rng = np.random.default_rng(0)
     lr = rng.uniform(size=(LR_H, LR_W, 3)).astype(np.float32)
 
-    # compile + warmup
-    _ = forward_batch(np.zeros((TILE_BATCH, TILE, TILE, 3), np.float32))
+    if WHOLE_IMAGE:
+        def run_once():
+            return whole_image_sr(lr, forward_batch)
+        desc = "whole-image dispatch"
+    else:
+        # compile + warmup of the tiled path
+        _ = forward_batch(np.zeros((TILE_BATCH, TILE, TILE, 3), np.float32))
+
+        def run_once():
+            return tiled_sr(lr, forward_batch, TILE, OVERLAP, TILE_BATCH)
+        desc = f"{num_tiles(LR_H, LR_W, TILE, OVERLAP)} tiles"
+
     t0 = time.time()
-    _ = tiled_sr(lr, forward_batch, TILE, OVERLAP, TILE_BATCH)
+    _ = run_once()
     warm_s = time.time() - t0
 
     # timed runs
     runs = 3
     t0 = time.time()
     for _ in range(runs):
-        sr = tiled_sr(lr, forward_batch, TILE, OVERLAP, TILE_BATCH)
+        sr = run_once()
     elapsed = (time.time() - t0) / runs
 
     out_mp = (LR_H * 4) * (LR_W * 4) / 1e6
@@ -107,7 +121,7 @@ def main():
         "vs_baseline": round(vs, 4),
     }))
     print(f"# image {LR_W}x{LR_H} LR → {LR_W*4}x{LR_H*4} HR: "
-          f"{elapsed:.2f}s/image ({num_tiles(LR_H, LR_W, TILE, OVERLAP)} tiles, "
+          f"{elapsed:.2f}s/image ({desc}, "
           f"first pass {warm_s:.1f}s incl. compile)", file=sys.stderr)
 
 

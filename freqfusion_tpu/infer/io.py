@@ -213,7 +213,43 @@ class InferencePipeline:
             tiles = jax.device_put(tiles, self._data_sh)
         return self._fwd(self.variables, tiles)
 
+    # Whole-image mode: the reference's own default forward (io.py:214-231,
+    # tiles only on OOM). One dispatch skips the ~1.28× tile-overlap
+    # recompute; shapes are bucketed to 32-px multiples so a homogeneous
+    # test set (e.g. DIV2K) compiles a handful of programs, and images
+    # beyond the pixel budget or the shape-cache cap fall back to tiles.
+    WHOLE_IMAGE_MAX_PX = int(os.environ.get(
+        "FREQFUSION_WHOLE_IMAGE_PX", "230000"))
+    WHOLE_IMAGE_MAX_SHAPES = 6
+
+    def _whole_image_plan(self, h: int, w: int):
+        if self.mesh is not None or self.WHOLE_IMAGE_MAX_PX <= 0:
+            return None
+        hp = -(-max(h, 64) // 32) * 32
+        wp = -(-max(w, 64) // 32) * 32
+        if hp * wp > self.WHOLE_IMAGE_MAX_PX:
+            return None
+        if hp - h >= h or wp - w >= w:   # reflect pad needs pad < size
+            return None
+        cache = getattr(self, "_whole_shapes", None)
+        if cache is None:
+            cache = self._whole_shapes = set()
+        if (hp, wp) not in cache and \
+                len(cache) >= self.WHOLE_IMAGE_MAX_SHAPES:
+            return None
+        cache.add((hp, wp))
+        return hp, wp
+
     def run_image(self, lr: np.ndarray) -> np.ndarray:
+        plan = self._whole_image_plan(lr.shape[0], lr.shape[1])
+        if plan is not None:
+            hp, wp = plan
+            h, w, _ = lr.shape
+            lrp = np.pad(lr, [(0, hp - h), (0, wp - w), (0, 0)],
+                         mode="reflect")
+            sr = np.asarray(self.forward_batch(lrp[None]))[0]
+            s = self.model.cfg.upscale
+            return sr[: h * s, : w * s]
         return tiled_sr(lr, self.forward_batch, self.tile, self.overlap,
                         self.tile_batch, self.model.cfg.upscale)
 

@@ -160,6 +160,30 @@ def tiled_sr(
     return out[: h * scale, : w * scale]
 
 
+def whole_image_sr(
+    lr: np.ndarray,
+    forward_img: Callable[[np.ndarray], np.ndarray],
+    scale: int = 4,
+    multiple: int = 16,
+) -> np.ndarray:
+    """Single-dispatch ×`scale` SR of one HWC image.
+
+    The reference's default is a full-image forward with tiling only as the
+    OOM fallback (io.py:214-231); with the fused kernels the full DIV2K
+    frame fits one chip, and a single dispatch skips the ~1.28× tile-overlap
+    recompute and the per-dispatch tunnel overhead. The caller owns shape
+    bucketing (every distinct padded shape is one XLA compile);
+    `forward_img` takes [1, Hp, Wp, 3] with Hp/Wp multiples of `multiple`.
+    """
+    h, w, _ = lr.shape
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    lrp = np.pad(lr, [(0, ph), (0, pw), (0, 0)], mode="reflect") \
+        if (ph or pw) else lr
+    sr = np.asarray(forward_img(lrp[None]))[0]
+    return sr[: h * scale, : w * scale]
+
+
 def num_tiles(h: int, w: int, tile: int = 128, overlap: int = 32,
               batch: int = 1) -> int:
     ys, xs, _, _ = plan_grid(max(h, tile), max(w, tile), tile, overlap, batch)

@@ -59,3 +59,21 @@ def test_small_image_single_tile():
 def test_num_tiles():
     assert num_tiles(128, 128, 128, 32) == 1
     assert num_tiles(256, 256, 128, 32) == 9  # 3x3 with stride 96
+
+
+def test_whole_image_sr_pads_and_crops():
+    from freqfusion_tpu.infer.tiling import whole_image_sr
+
+    calls = {}
+
+    def fwd(batch):
+        calls["shape"] = batch.shape
+        b, h, w, _ = batch.shape
+        return np.repeat(np.repeat(batch, 4, axis=1), 4, axis=2)
+
+    lr = np.random.default_rng(0).uniform(size=(37, 53, 3)).astype(np.float32)
+    sr = whole_image_sr(lr, fwd, scale=4, multiple=16)
+    assert calls["shape"] == (1, 48, 64, 3)
+    assert sr.shape == (148, 212, 3)
+    np.testing.assert_allclose(
+        sr, np.repeat(np.repeat(lr, 4, axis=0), 4, axis=1), atol=1e-6)
