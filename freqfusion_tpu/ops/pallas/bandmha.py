@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .wattn import _ln
+from .wattn import MOSAIC_PARAMS, _ln
 
 
 def _masks(t: int, d: int, nh: int):
@@ -141,6 +141,7 @@ def fused_band_mha(stacked, wqkv, bqkv, wproj, bproj, ln_w, ln_b,
             flops=2 * b * h * w * t * d * (4 * d + 2 * t * num_heads),
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=b * h * w * t * t * num_heads),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(x, wqkv, f32(bqkv).reshape(1, -1), wproj, f32(bproj).reshape(1, -1),
       f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),

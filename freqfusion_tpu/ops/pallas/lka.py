@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .wattn import MOSAIC_PARAMS
+
 K = 21
 PAD_L = K // 2          # 10, for the two large 1-D convs
 PAD_S = 2               # for the 5×5
@@ -148,6 +150,7 @@ def lka_gate(x, w5, wh, wv, wp, scale, shift, block_h: int = 0,
         out_specs=pl.BlockSpec((1, block_h, w, c),
                                lambda bi, hi: (bi, hi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h + ph, w, c), x.dtype),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(xp, w5.astype(jnp.float32), wh.astype(jnp.float32),
       wv.astype(jnp.float32), wp.astype(jnp.float32), ab)

@@ -31,6 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .wattn import MOSAIC_PARAMS
+
 
 def _ln2d(x, w, b, eps=1e-6):
     """channel_layernorm (ops/common.py) in f32: biased variance over C."""
@@ -185,6 +187,7 @@ def naf_block_stage_a(x, ln_w, ln_b, w1, b1, wdw, bdw,
             flops=2 * b * h * w * c * dw + 18 * b * h * w * dw,
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=0),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(xp, xp, xp, f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),
       w1.reshape(c, dw), f32(b1).reshape(1, -1), wdw_flat,
@@ -226,6 +229,7 @@ def naf_block_stage_b(g, x, att, w3, b3, beta, ln2_w, ln2_b, w4, b4,
             flops=2 * b * h * w * c * (c + dw + dw // 2 * c // c),
             bytes_accessed=3 * g.size * g.dtype.itemsize,
             transcendentals=0),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(g, x, att, w3.reshape(c, c), f32(b3).reshape(1, -1),
       f32(beta).reshape(1, -1), f32(ln2_w).reshape(1, -1),

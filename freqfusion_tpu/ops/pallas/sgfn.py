@@ -22,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .wattn import _gelu_exact, _ln
+from .wattn import MOSAIC_PARAMS, _gelu_exact, _ln
 
 
 def _kernel(a_ref, x_ref, at_ref, xt_ref, ab_ref, xb_ref,
@@ -134,6 +134,7 @@ def fused_sgfn_tail(a, shortcut, ln_w, ln_b, w1, b1, sg_w, sg_b,
             flops=2 * b * h * w * c * hid * 3 // 2 + 18 * b * h * w * half,
             bytes_accessed=3 * a.size * a.dtype.itemsize,
             transcendentals=b * h * w * hid),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(ap, sp, ap, sp, ap, sp,
       f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),

@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .nafblock import _pick_bh
-from .wattn import _gelu_exact
+from .wattn import MOSAIC_PARAMS, _gelu_exact
 
 
 def _act(t, fn):
@@ -270,5 +270,6 @@ def run_conv_chain(x, ops, weights, k: int, out_channels: int,
             transcendentals=4 * b * h * w * max(
                 (wt.shape[-1] for wt, _ in weights
                  if hasattr(wt, "ndim") and wt.ndim >= 2), default=1)),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(*args)

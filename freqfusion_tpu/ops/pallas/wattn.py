@@ -40,6 +40,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+#: v5e has 128 MiB of VMEM per core; Mosaic's default 16 MiB scoped-stack
+#: ceiling rejects several of our strip kernels at wide shapes.
+MOSAIC_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _pick_gh(n_win_rows: int, max_gh: int = 4) -> int:
     for g in (max_gh, 4, 2, 1):
         if g <= max_gh and n_win_rows % g == 0 and g <= n_win_rows:
@@ -281,6 +286,7 @@ def fused_hab_block(
             bytes_accessed=3 * x.size * x.dtype.itemsize,
             transcendentals=int(np.prod(grid)) * gh * n * (num_heads * n
                                                            + hidden)),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(*args)
 
@@ -337,6 +343,7 @@ def fused_residual_ln_mlp(a, shortcut, ln_w, ln_b, w1, b1, w2, b2,
             flops=4 * b * h * w * c * hidden,
             bytes_accessed=3 * a.size * a.dtype.itemsize,
             transcendentals=b * h * w * hidden),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(a, shortcut, f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),
       w1, f32(b1).reshape(1, -1), w2, f32(b2).reshape(1, -1))
@@ -429,6 +436,7 @@ def fused_window_attention_qkv(
             flops=int(np.prod(grid)) * 2 * gh * num_heads * n * n * hd * 2,
             bytes_accessed=4 * q.size * q.dtype.itemsize,
             transcendentals=int(np.prod(grid)) * gh * num_heads * n * n),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(*args)
 
@@ -533,6 +541,7 @@ def fused_overlap_attention(
             bytes_accessed=4 * q.size * q.dtype.itemsize,
             transcendentals=int(np.prod(grid)) * num_heads
             * ws * ws * ows * ows),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(q, *([kp] * 9), *([vp] * 9), wproj, bproj.reshape(1, -1),
       bias.astype(jnp.float32))
@@ -608,5 +617,6 @@ def fused_window_attention(
             flops=flops_per * int(np.prod(grid)),
             bytes_accessed=2 * x.size * x.dtype.itemsize,
             transcendentals=int(np.prod(grid)) * gh * num_heads * n * n),
+        compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(*args)

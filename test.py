@@ -23,9 +23,15 @@ def select_model(model_id: int):
 
 
 def run(model_func, model_dir, input_path, output_path):
+    # apply the JAX_PLATFORMS override BEFORE jax.devices() initializes
+    # backends (the axon sitecustomize force-registers the TPU platform;
+    # config updates are silently ignored once backends exist)
+    from freqfusion_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     import jax
+    dev = jax.devices()[0]
     t0 = time.time()
-    n = model_func(model_dir, input_path, output_path, jax.devices()[0])
+    n = model_func(model_dir, input_path, output_path, dev)
     jax.effects_barrier()
     elapsed = (time.time() - t0) * 1000.0
     print(f"------> Runtime (including IO) of {n} images: {elapsed:.1f} ms "
