@@ -52,6 +52,32 @@ def _pick_gh(n_win_rows: int, max_gh: int = 4) -> int:
     return 1
 
 
+def _mask_types(mask, n_wr: int, n_wc: int) -> np.ndarray:
+    """[nW,N,N] shift mask → the 4 distinct window types [4,N,N]
+    (0 interior, 1 last-col, 2 last-row, 3 corner), asserted exhaustive.
+    Passing the full tensor embedded an O(image)·N² constant in the program
+    (184 MB at 352×512/ws16 — blew the remote-compile request limit)."""
+    g = np.asarray(mask).reshape(n_wr, n_wc, mask.shape[-2], mask.shape[-1])
+    types = np.stack([g[0, 0], g[0, n_wc - 1],
+                      g[n_wr - 1, 0], g[n_wr - 1, n_wc - 1]])
+    for i in range(n_wr):
+        for j in range(n_wc):
+            t = (2 if i == n_wr - 1 else 0) + (1 if j == n_wc - 1 else 0)
+            assert np.array_equal(g[i, j], types[t]), (i, j)
+    return types
+
+
+def _select_mask(mask_ref, g: int, gh: int):
+    """Pick this window's mask type from program position (f32 [N,N])."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    isb = (i == pl.num_programs(1) - 1) & (g == gh - 1)
+    isr = j == pl.num_programs(2) - 1
+    m = jnp.where(isr, mask_ref[1], mask_ref[0])
+    m = jnp.where(isb, jnp.where(isr, mask_ref[3], mask_ref[2]), m)
+    return m
+
+
 def _align_heads(wqkv, bqkv, wproj, num_heads, hd, hdp):
     """Re-pack heads into hdp-wide zero-padded slots (math-identical):
     pure pad+reshape — the target column order (section, head, slot) is
@@ -87,6 +113,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
     for g in range(gh):
+        if has_mask:
+            mg = _select_mask(mask_ref, g, gh)
         head_outs = []
         for h in range(num_heads):
             q = qkv[g * n:(g + 1) * n, h * hdp:(h + 1) * hdp]
@@ -96,7 +124,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
                                     preferred_element_type=jnp.float32)
             a = a + bias_ref[h]
             if has_mask:
-                a = a + mask_ref[0, 0, g]
+                a = a + mg
             a = jax.nn.softmax(a, axis=-1).astype(dt)
             head_outs.append(jnp.dot(a, v, preferred_element_type=jnp.float32)
                              .astype(dt))
@@ -159,6 +187,8 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
     for g in range(gh):
+        if has_mask:
+            mg = _select_mask(mask_ref, g, gh)
         head_outs = []
         for h in range(num_heads):
             q = qkv[g * n:(g + 1) * n, h * hdp:(h + 1) * hdp]
@@ -168,7 +198,7 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                                     preferred_element_type=jnp.float32)
             a = a + bias_ref[h]
             if has_mask:
-                a = a + mask_ref[0, 0, g]
+                a = a + mg
             a = jax.nn.softmax(a, axis=-1).astype(dt)
             head_outs.append(jnp.dot(a, v, preferred_element_type=jnp.float32)
                              .astype(dt))
@@ -262,12 +292,10 @@ def fused_hab_block(
 
     has_mask = mask is not None
     if has_mask:
-        m = np.asarray(mask).reshape(n_wr, n_wc, n, n)
-        m = m.reshape(n_wr // gh, gh, n_wc, n, n).transpose(0, 2, 1, 3, 4)
         in_specs.append(pl.BlockSpec(
-            (1, 1, gh, n, n), lambda bi, i, j: (i, j, 0, 0, 0),
+            (4, n, n), lambda bi, i, j: (0, 0, 0),
             memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(m, jnp.float32))
+        args.append(jnp.asarray(_mask_types(mask, n_wr, n_wc), jnp.float32))
 
     kernel = functools.partial(
         _kernel_hab, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
@@ -367,6 +395,8 @@ def _kernel_qkv(q_ref, k_ref, v_ref, bias_ref, *rest, wsh: int, wsw: int,
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
     for g in range(gh):
+        if has_mask:
+            mg = _select_mask(mask_ref, g, gh)
         head_outs = []
         for h in range(num_heads):
             rows = slice(g * n, (g + 1) * n)
@@ -376,7 +406,7 @@ def _kernel_qkv(q_ref, k_ref, v_ref, bias_ref, *rest, wsh: int, wsw: int,
                                     preferred_element_type=jnp.float32)
             a = a + bias_ref[h]
             if has_mask:
-                a = a + mask_ref[0, 0, g]
+                a = a + mg
             a = jax.nn.softmax(a, axis=-1).astype(dt)
             head_outs.append(
                 jnp.dot(a, vb[rows, cols], preferred_element_type=jnp.float32)
@@ -416,12 +446,10 @@ def fused_window_attention_qkv(
 
     has_mask = mask is not None
     if has_mask:
-        m = np.asarray(mask).reshape(n_wr, n_wc, n, n)
-        m = m.reshape(n_wr // gh, gh, n_wc, n, n).transpose(0, 2, 1, 3, 4)
         in_specs.append(pl.BlockSpec(
-            (1, 1, gh, n, n), lambda bi, i, j: (i, j, 0, 0, 0),
+            (4, n, n), lambda bi, i, j: (0, 0, 0),
             memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(m, jnp.float32))
+        args.append(jnp.asarray(_mask_types(mask, n_wr, n_wc), jnp.float32))
 
     kernel = functools.partial(
         _kernel_qkv, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
@@ -592,14 +620,10 @@ def fused_window_attention(
 
     has_mask = mask is not None
     if has_mask:
-        # regroup [nW, N, N] → [nWr/gh, nWc, gh, N, N] so one program's gh
-        # vertically-stacked windows form one contiguous block
-        m = np.asarray(mask).reshape(n_wr, n_wc, n, n)
-        m = m.reshape(n_wr // gh, gh, n_wc, n, n).transpose(0, 2, 1, 3, 4)
         in_specs.append(pl.BlockSpec(
-            (1, 1, gh, n, n), lambda bi, i, j: (i, j, 0, 0, 0),
+            (4, n, n), lambda bi, i, j: (0, 0, 0),
             memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(m, jnp.float32))
+        args.append(jnp.asarray(_mask_types(mask, n_wr, n_wc), jnp.float32))
 
     kernel = functools.partial(
         _kernel, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
