@@ -183,14 +183,10 @@ from .vgg import (  # noqa: E402  (re-export)
     VGG19Features, VGGPerceptualLoss, load_vgg19_params, vgg_key_fn)
 
 
-class CLIPPerceptualLoss:
-    """API stub for the Track-B CLIP prompt-similarity loss
-    (perceptual_loss.py:856-989); same unavailability contract as VGG."""
-
-    def __init__(self, *a, **k):
-        raise RuntimeError(
-            "CLIP pretrained weights unavailable in this environment; "
-            "CombinedLoss redirects the clip weight to the FFT loss instead")
+# Real flax CLIP ViT-B/32 image tower + converter (losses/clip.py); same
+# unavailability contract — live the moment a checkpoint lands.
+from .clip import (  # noqa: E402  (re-export)
+    CLIPPerceptualLoss, CLIPVisionTransformer, clip_key_fn, load_clip_params)
 
 
 DEFAULT_WEIGHTS = {

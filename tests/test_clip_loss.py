@@ -1,0 +1,126 @@
+"""CLIP image tower: conversion + parity vs a minimal torch mirror of the
+published OpenAI ViT-B/32 visual architecture (the `clip` package is not
+installed; the mirror follows CLIP's model.py VisionTransformer exactly)."""
+
+import numpy as np
+import pytest
+
+from conftest import has_torch
+
+pytestmark = pytest.mark.skipif(not has_torch(), reason="torch unavailable")
+
+
+def _torch_tower(sd, x_nchw, width=64, patch=16, layers=2, heads=2, out=32):
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    x = torch.from_numpy(x_nchw)
+    x = F.conv2d(x, t["visual.conv1.weight"], stride=patch)
+    b = x.shape[0]
+    x = x.reshape(b, width, -1).permute(0, 2, 1)  # [B,N,E]
+    cls = t["visual.class_embedding"].reshape(1, 1, width).expand(b, 1, width)
+    x = torch.cat([cls, x], dim=1) + t["visual.positional_embedding"]
+    x = F.layer_norm(x, (width,), t["visual.ln_pre.weight"],
+                     t["visual.ln_pre.bias"], eps=1e-5)
+    for i in range(layers):
+        p = f"visual.transformer.resblocks.{i}"
+        h = F.layer_norm(x, (width,), t[f"{p}.ln_1.weight"],
+                         t[f"{p}.ln_1.bias"], eps=1e-5)
+        attn, _ = F.multi_head_attention_forward(
+            h.transpose(0, 1), h.transpose(0, 1), h.transpose(0, 1),
+            width, heads, t[f"{p}.attn.in_proj_weight"],
+            t[f"{p}.attn.in_proj_bias"], None, None, False, 0.0,
+            t[f"{p}.attn.out_proj.weight"], t[f"{p}.attn.out_proj.bias"],
+            need_weights=False)
+        x = x + attn.transpose(0, 1)
+        h = F.layer_norm(x, (width,), t[f"{p}.ln_2.weight"],
+                         t[f"{p}.ln_2.bias"], eps=1e-5)
+        h = F.linear(h, t[f"{p}.mlp.c_fc.weight"], t[f"{p}.mlp.c_fc.bias"])
+        h = h * torch.sigmoid(1.702 * h)
+        h = F.linear(h, t[f"{p}.mlp.c_proj.weight"],
+                     t[f"{p}.mlp.c_proj.bias"])
+        x = x + h
+    x = F.layer_norm(x[:, 0], (width,), t["visual.ln_post.weight"],
+                     t["visual.ln_post.bias"], eps=1e-5)
+    return (x @ t["visual.proj"]).numpy()
+
+
+def _synthetic_sd(width=64, patch=16, layers=2, out=32, seed=0):
+    rng = np.random.default_rng(seed)
+    f = lambda *s: rng.normal(size=s).astype(np.float32) * 0.05
+    sd = {
+        "visual.conv1.weight": f(width, 3, patch, patch),
+        "visual.class_embedding": f(width),
+        "visual.positional_embedding": f((224 // patch) ** 2 + 1, width),
+        "visual.ln_pre.weight": 1 + f(width), "visual.ln_pre.bias": f(width),
+        "visual.ln_post.weight": 1 + f(width),
+        "visual.ln_post.bias": f(width),
+        "visual.proj": f(width, out),
+    }
+    for i in range(layers):
+        p = f"visual.transformer.resblocks.{i}"
+        sd.update({
+            f"{p}.ln_1.weight": 1 + f(width), f"{p}.ln_1.bias": f(width),
+            f"{p}.ln_2.weight": 1 + f(width), f"{p}.ln_2.bias": f(width),
+            f"{p}.attn.in_proj_weight": f(3 * width, width),
+            f"{p}.attn.in_proj_bias": f(3 * width),
+            f"{p}.attn.out_proj.weight": f(width, width),
+            f"{p}.attn.out_proj.bias": f(width),
+            f"{p}.mlp.c_fc.weight": f(4 * width, width),
+            f"{p}.mlp.c_fc.bias": f(4 * width),
+            f"{p}.mlp.c_proj.weight": f(width, 4 * width),
+            f"{p}.mlp.c_proj.bias": f(width),
+        })
+    return sd
+
+
+def test_clip_tower_parity_and_conversion(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from freqfusion_tpu.losses.clip import CLIPVisionTransformer, clip_key_fn
+    from freqfusion_tpu.utils import convert as cv
+
+    width, patch, layers, heads, out = 64, 16, 2, 2, 32
+    sd = _synthetic_sd(width, patch, layers, out)
+    model = CLIPVisionTransformer(patch=patch, width=width, layers=layers,
+                                  heads=heads, output_dim=out)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 224, 224, 3)))
+    params, report = cv.fill_params(variables["params"], sd, clip_key_fn,
+                                    strict=True)
+    assert report["loaded"] == report["total"]
+
+    x = np.random.default_rng(1).normal(
+        size=(2, 224, 224, 3)).astype(np.float32) * 0.5
+    got = model.apply({"params": params}, jnp.asarray(x))
+    want = _torch_tower(sd, np.transpose(x, (0, 3, 1, 2)).copy(),
+                        width, patch, layers, heads, out)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+def test_clip_loss_semantics(tmp_path):
+    import jax.numpy as jnp
+
+    from freqfusion_tpu.losses.clip import CLIPPerceptualLoss
+
+    import jax
+    from freqfusion_tpu.losses.clip import CLIPVisionTransformer
+    model = CLIPVisionTransformer(patch=16, width=64, layers=1, heads=2,
+                                  output_dim=32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    rng = np.random.default_rng(2)
+    loss = CLIPPerceptualLoss.__new__(CLIPPerceptualLoss)
+    loss.quality_threshold = 0.5
+    loss.model = model
+    loss.params = variables
+    import jax.numpy as jnp2
+    pos = rng.normal(size=(5, 32)).astype(np.float32)
+    neg = rng.normal(size=(5, 32)).astype(np.float32)
+    loss.pos = jnp2.asarray(pos / np.linalg.norm(pos, axis=-1, keepdims=True))
+    loss.neg = jnp2.asarray(neg / np.linalg.norm(neg, axis=-1, keepdims=True))
+    out = loss(jnp.asarray(rng.uniform(size=(2, 64, 48, 3)), jnp.float32))
+    assert np.isfinite(float(out)) and float(out) >= 0.0
