@@ -48,12 +48,14 @@ class BatchNormEval(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None, raw: bool = False):
         scale = self.param("weight", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         var = self.param("running_var", nn.initializers.ones, (self.features,))
         inv = jax.lax.rsqrt(var + self.eps) * scale
+        if raw:  # (scale, shift) of the folded eval-mode affine
+            return inv, bias - mean * inv
         return x * inv + (bias - mean * inv)
 
 
@@ -143,11 +145,17 @@ class AIMConvBranch(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, v_img):
-        x = nn.Conv(self.dim, (3, 3), feature_group_count=self.dim,
-                    name="dwconv")(v_img)
-        x = BatchNormEval(self.dim, name="dwconv_bn")(x)
-        return gelu(x)
+    def __call__(self, v_img=None, raw: bool = False):
+        from .nafnet import _ConvParams
+        wdw, bdw = _ConvParams((3, 3, 1, self.dim), name="dwconv")()
+        bn_s, bn_b = BatchNormEval(self.dim, name="dwconv_bn")(raw=True)
+        if raw:
+            return wdw, bdw, bn_s, bn_b
+        x = jax.lax.conv_general_dilated(
+            v_img, wdw.astype(v_img.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.dim) + bdw
+        return gelu(x * bn_s + bn_b)
 
 
 class ChannelInteraction(nn.Module):
@@ -156,11 +164,19 @@ class ChannelInteraction(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x):
-        g = jnp.mean(x, axis=(1, 2), keepdims=True)
-        g = nn.Conv(self.dim // 8, (1, 1), name="fc1")(g)
-        g = BatchNormEval(self.dim // 8, name="bn")(g)
-        g = nn.Conv(self.dim, (1, 1), name="fc2")(gelu(g))
+    def __call__(self, x=None, pooled=None):
+        """`x` full image (GAP applied here) or `pooled` [B,1,1,C]."""
+        from .nafnet import _ConvParams
+        mid = self.dim // 8
+        w1, b1 = _ConvParams((1, 1, self.dim, mid), name="fc1")()
+        bn_s, bn_b = BatchNormEval(mid, name="bn")(raw=True)
+        w2, b2 = _ConvParams((1, 1, mid, self.dim), name="fc2")()
+        g = pooled if pooled is not None else jnp.mean(
+            x, axis=(1, 2), keepdims=True)
+        g = jnp.einsum("bhwc,cd->bhwd", g, w1.reshape(self.dim, mid)) + b1
+        g = g * bn_s + bn_b
+        g = jnp.einsum("bhwc,cd->bhwd", gelu(g),
+                       w2.reshape(mid, self.dim)) + b2
         return g  # [B,1,1,C]
 
 
@@ -170,10 +186,17 @@ class SpatialInteraction(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x):
-        s = nn.Conv(self.dim // 16, (1, 1), name="fc1")(x)
-        s = BatchNormEval(self.dim // 16, name="bn")(s)
-        s = nn.Conv(1, (1, 1), name="fc2")(gelu(s))
+    def __call__(self, x=None, raw: bool = False):
+        from .nafnet import _ConvParams
+        mid = self.dim // 16
+        w1, b1 = _ConvParams((1, 1, self.dim, mid), name="fc1")()
+        bn_s, bn_b = BatchNormEval(mid, name="bn")(raw=True)
+        w2, b2 = _ConvParams((1, 1, mid, 1), name="fc2")()
+        if raw:
+            return w1, b1, bn_s, bn_b, w2, b2
+        s = jnp.einsum("bhwc,cd->bhwd", x, w1.reshape(self.dim, mid)) + b1
+        s = s * bn_s + bn_b
+        s = jnp.einsum("bhwc,cd->bhwd", gelu(s), w2.reshape(mid, 1)) + b2
         return s  # [B,H,W,1]
 
 
@@ -231,13 +254,25 @@ class AdaptiveSpatialAttention(nn.Module):
             outs.append(o[:, :h, :w, :])
         attened = jnp.concatenate(outs, axis=-1)
 
-        conv_x = AIMConvBranch(c, name="conv_branch")(v)
-        channel_map = ChannelInteraction(c, name="channel_interaction")(conv_x)
-        spatial_map = SpatialInteraction(c, name="spatial_interaction")(attened)
+        aimb = AIMConvBranch(c, name="conv_branch")
+        ci = ChannelInteraction(c, name="channel_interaction")
+        si = SpatialInteraction(c, name="spatial_interaction")
+        proj_w, proj_b = _DenseParams(c, c, name="proj")()
 
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas.aim import aim_conv_branch, aim_gates_proj
+            cx, sums = aim_conv_branch(v, *aimb(raw=True))
+            chmap = ci(pooled=sums / np.float32(h * w))
+            return aim_gates_proj(attened, cx, chmap, *si(raw=True),
+                                  proj_w, proj_b, swap=False)
+
+        conv_x = aimb(v)
+        channel_map = ci(conv_x)
+        spatial_map = si(attened)
         attened = attened * jax.nn.sigmoid(channel_map)
         conv_x = conv_x * jax.nn.sigmoid(spatial_map)
-        return nn.Dense(c, name="proj")(attened + conv_x)
+        return (attened + conv_x) @ proj_w + proj_b
 
 
 class AdaptiveChannelAttention(nn.Module):
@@ -245,6 +280,7 @@ class AdaptiveChannelAttention(nn.Module):
 
     dim: int
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):  # [B,H,W,C]
@@ -284,13 +320,25 @@ class AdaptiveChannelAttention(nn.Module):
         attened = attened.reshape(b, h, w, c).astype(x.dtype)
 
         v_img = vf.reshape(b, h, w, c)
-        conv_x = AIMConvBranch(c, name="conv_branch")(v_img)
-        channel_map = ChannelInteraction(c, name="channel_interaction")(attened)
-        spatial_map = SpatialInteraction(c, name="spatial_interaction")(conv_x)
+        aimb = AIMConvBranch(c, name="conv_branch")
+        ci = ChannelInteraction(c, name="channel_interaction")
+        si = SpatialInteraction(c, name="spatial_interaction")
+        proj_w, proj_b = _DenseParams(c, c, name="proj")()
 
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas.aim import aim_conv_branch, aim_gates_proj
+            cx, _ = aim_conv_branch(v_img, *aimb(raw=True))
+            chmap = ci(pooled=jnp.mean(attened, axis=(1, 2), keepdims=True))
+            return aim_gates_proj(attened, cx, chmap, *si(raw=True),
+                                  proj_w, proj_b, swap=True)
+
+        conv_x = aimb(v_img)
+        channel_map = ci(attened)
+        spatial_map = si(conv_x)
         attened = attened * jax.nn.sigmoid(spatial_map)
         conv_x = conv_x * jax.nn.sigmoid(channel_map)
-        return nn.Dense(c, name="proj")(attened + conv_x)
+        return (attened + conv_x) @ proj_w + proj_b
 
 
 class SGFN(nn.Module):
@@ -338,7 +386,8 @@ class DATB(nn.Module):
                 self.dim, self.num_heads, self.split_size, shift,
                 self.rg_idx, self.b_idx, self.use_pallas, name="attn")(h)
         else:
-            h = AdaptiveChannelAttention(self.dim, self.num_heads, name="attn")(h)
+            h = AdaptiveChannelAttention(self.dim, self.num_heads,
+                                         self.use_pallas, name="attn")(h)
         ln2_w, ln2_b = _LNParams(self.dim, name="norm2")()
         ffn = SGFN(self.dim, int(self.dim * self.expansion), name="ffn")
 

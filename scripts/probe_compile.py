@@ -2,7 +2,7 @@
 """Per-kernel standalone compile+run timing at bench shapes.
 
 Usage: python scripts/probe_compile.py [kernel ...]
-Kernels: sgfn1 sgfn2 sgfn4 hab nafA nafB bandmha stencil_edge stencil_stage
+Kernels: sgfn hab nafA nafB bandmha stencil_edge stencil_stage
 Each prints {"kernel": ..., "compile_s": ..., "ms": ...}.
 """
 

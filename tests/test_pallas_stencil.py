@@ -118,3 +118,68 @@ def test_ln_conv_chain_matches_xla():
         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_aim_kernels_match_xla():
+    """aim_conv_branch + aim_gates_proj vs the DAT AIM XLA chain, both
+    wirings (spatial swap=False, channel swap=True)."""
+    from freqfusion_tpu.models.dat import (AIMConvBranch, ChannelInteraction,
+                                           SpatialInteraction)
+    from freqfusion_tpu.ops.pallas.aim import aim_conv_branch, aim_gates_proj
+
+    c, b, h, w = 32, 2, 12, 16
+    key = jax.random.PRNGKey(0)
+    v = jax.random.normal(key, (b, h, w, c)) * 0.4
+    att = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, c)) * 0.4
+
+    aimb = AIMConvBranch(c)
+    va = aimb.init(jax.random.PRNGKey(2), v)
+    pa = _perturb(va["params"], seed=31)
+    ci = ChannelInteraction(c)
+    vc = ci.init(jax.random.PRNGKey(3), v)
+    pc = _perturb(vc["params"], seed=32)
+    si = SpatialInteraction(c)
+    vs = si.init(jax.random.PRNGKey(4), v)
+    ps = _perturb(vs["params"], seed=33)
+    proj_w = jax.random.normal(jax.random.PRNGKey(5), (c, c)) * 0.05
+    proj_b = jax.random.normal(jax.random.PRNGKey(6), (c,)) * 0.02
+
+    conv_x = aimb.apply({"params": pa}, v)
+
+    def bn_affine(p):
+        inv = (p["weight"] / np.sqrt(np.asarray(p["running_var"]) + 1e-5))
+        return jnp.asarray(inv), p["bias"] - p["running_mean"] * inv
+
+    bns, bnb = bn_affine(pa["dwconv_bn"])
+    cx, sums = aim_conv_branch(v, pa["dwconv"]["kernel"],
+                               pa["dwconv"]["bias"], bns, bnb,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(cx), np.asarray(conv_x),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sums)[:, 0, 0],
+        np.asarray(conv_x.sum(axis=(1, 2))), atol=2e-3, rtol=1e-4)
+
+    si_bns, si_bnb = bn_affine(ps["bn"])
+    si_raw = (ps["fc1"]["kernel"], ps["fc1"]["bias"], si_bns, si_bnb,
+              ps["fc2"]["kernel"], ps["fc2"]["bias"])
+
+    # spatial wiring
+    chmap = ci.apply({"params": pc}, conv_x)
+    want = (att * jax.nn.sigmoid(chmap)
+            + conv_x * jax.nn.sigmoid(si.apply({"params": ps}, att)))
+    want = want @ proj_w + proj_b
+    got = aim_gates_proj(att, conv_x, chmap, *si_raw, proj_w, proj_b,
+                         swap=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+    # channel wiring
+    chmap2 = ci.apply({"params": pc}, att)
+    want2 = (att * jax.nn.sigmoid(si.apply({"params": ps}, conv_x))
+             + conv_x * jax.nn.sigmoid(chmap2))
+    want2 = want2 @ proj_w + proj_b
+    got2 = aim_gates_proj(att, conv_x, chmap2, *si_raw, proj_w, proj_b,
+                          swap=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=5e-5, rtol=1e-4)
