@@ -88,10 +88,11 @@ class EdgeRefineBlock(nn.Module):
         attn = SpatialEdgeAttention(fc, name="attn")
         wa1, ba1, wa2, ba2 = attn(raw=True)
 
-        if (self.use_pallas and not self.is_initializing()
+        from ..ops.pallas.stencil import run_conv_chain, stencil_enabled
+        if (self.use_pallas and stencil_enabled()
+                and not self.is_initializing()
                 and jax.default_backend() == "tpu"
                 and x.shape[1] % 2 == 0):
-            from ..ops.pallas.stencil import run_conv_chain
             h = run_conv_chain(
                 x,
                 ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
@@ -170,7 +171,9 @@ class LaplacianEdgeRefinement(nn.Module):
         strength = self.param("edge_strength",
                               lambda k, s: jnp.asarray(self.edge_strength_init), ())
 
-        fused_path = (self.use_pallas and not self.is_initializing()
+        from ..ops.pallas.stencil import stencil_enabled
+        fused_path = (self.use_pallas and stencil_enabled()
+                      and not self.is_initializing()
                       and jax.default_backend() == "tpu" and h % 2 == 0)
         if fused_path:
             from ..ops.pallas.stencil import run_conv_chain

@@ -145,10 +145,11 @@ class RefineNet(nn.Module):
                                     lambda k, s: jnp.asarray(0.1), ())
         up = resize(lr, fused.shape[1], fused.shape[2], "bilinear")
 
-        if (self.use_pallas and not self.is_initializing()
+        from ..ops.pallas.stencil import run_conv_chain, stencil_enabled
+        if (self.use_pallas and stencil_enabled()
+                and not self.is_initializing()
                 and jax.default_backend() == "tpu"
                 and fused.shape[1] % 2 == 0 and self.depth % 2 == 0):
-            from ..ops.pallas.stencil import run_conv_chain
             h = fused
             for i in range(0, self.depth, 2):
                 acts = ["gelu" if j < self.depth - 1 else None

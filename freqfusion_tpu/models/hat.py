@@ -257,7 +257,12 @@ class HAB(nn.Module):
             # gate is applied in-register inside the HAB kernel. Residuals
             # commute with the shift roll, so shifted blocks run entirely in
             # rolled coordinates.
-            cab_pre, ca_scale = cab(x, ln=(ln1_w, ln1_b), chain=True)
+            from ..ops.pallas.stencil import stencil_enabled
+            if stencil_enabled():
+                cab_pre, ca_scale = cab(x, ln=(ln1_w, ln1_b), chain=True)
+            else:
+                cab_pre = cab(apply_ln(x, ln1_w, ln1_b))
+                ca_scale = None
             wqkv, bqkv, wproj, bproj, bias = attn_mod(x, raw=True)
             k1, b1, k2, b2 = mlp(x, raw=True)
             from ..ops.pallas.wattn import fused_hab_block

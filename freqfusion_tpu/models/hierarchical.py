@@ -81,10 +81,11 @@ class _Stage(nn.Module):
         gate = SpatialGate(self.out2, name="gate")
         res = ResBlock(self.out2, name="res")
 
-        if (self.use_pallas and not self.is_initializing()
+        from ..ops.pallas.stencil import run_conv_chain, stencil_enabled
+        if (self.use_pallas and stencil_enabled()
+                and not self.is_initializing()
                 and jax.default_backend() == "tpu"
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
-            from ..ops.pallas.stencil import run_conv_chain
             g1, gb1, g2, gb2 = gate(raw=True)
             r1, r2, rscale = res(raw=True)
             h = run_conv_chain(
@@ -151,9 +152,10 @@ class HierarchicalFusion(nn.Module):
         wr1, br1 = _ConvParams((3, 3, bc // 2, bc // 4),
                                name="to_rgb_conv1")()
         wr2, br2 = _ConvParams((3, 3, bc // 4, 3), name="to_rgb_conv2")()
-        if (self.use_pallas and not self.is_initializing()
+        from ..ops.pallas.stencil import run_conv_chain, stencil_enabled
+        if (self.use_pallas and stencil_enabled()
+                and not self.is_initializing()
                 and jax.default_backend() == "tpu" and h % 2 == 0):
-            from ..ops.pallas.stencil import run_conv_chain
             return run_conv_chain(
                 f3, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
                          {"kind": "conv3", "wi": 1, "act": "sigmoid"}],

@@ -25,6 +25,7 @@ input tensor, e.g. the refine net's upsampled-LR residual), clamp01.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .nafblock import _pick_bh
 from .wattn import MOSAIC_PARAMS, _gelu_exact
+
+
+def stencil_enabled() -> bool:
+    """Measured OFF by default: at bench shapes the chain kernels run
+    ~40 ms/call (tiny-K tap matmuls under-utilize the MXU), losing to the
+    XLA conv stacks they replace (probe_compile.py stencil_edge/stage;
+    HAT-L 365→419 ms with the CAB chain). FREQFUSION_STENCIL=1 re-enables
+    for kernel iteration."""
+    return os.environ.get("FREQFUSION_STENCIL", "0") == "1"
 
 
 def _act(t, fn):
