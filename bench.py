@@ -90,27 +90,58 @@ def main():
     lr = rng.uniform(size=(LR_H, LR_W, 3)).astype(np.float32)
 
     if WHOLE_IMAGE:
+        # serving protocol: device-side uint8 PNG payload (the tunnel moves
+        # ~20-30 MB/s — a f32 HR frame costs ~1.6 s to fetch, uint8 ~0.5 s;
+        # clip+*255+round on device produces byte-identical PNGs), and
+        # image-stream pipelining (dispatch image i+1 before materializing
+        # image i, exactly like test.py's directory loop).
+        def _fwd_u8(v, t):
+            if DTYPE == "bfloat16":
+                t = t.astype(jnp.bfloat16)
+            out = model.apply(v, t).astype(jnp.float32)
+            return jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        fwd_u8 = jax.jit(_fwd_u8)
+        ph = (-LR_H) % 16
+        pw = (-LR_W) % 16
+        lrp = np.pad(lr, [(0, ph), (0, pw), (0, 0)], mode="reflect")[None]
+
         def run_once():
-            return whole_image_sr(lr, forward_batch)
-        desc = "whole-image dispatch"
+            return np.asarray(fwd_u8(variables, lrp))
+
+        def run_stream(n):
+            pending = fwd_u8(variables, lrp)
+            outs = []
+            for _ in range(n - 1):
+                nxt = fwd_u8(variables, lrp)
+                outs.append(np.asarray(pending))
+                pending = nxt
+            outs.append(np.asarray(pending))
+            return outs
+
+        desc = "whole-image dispatch, uint8 payload, pipelined"
     else:
         # compile + warmup of the tiled path
         _ = forward_batch(np.zeros((TILE_BATCH, TILE, TILE, 3), np.float32))
 
         def run_once():
             return tiled_sr(lr, forward_batch, TILE, OVERLAP, TILE_BATCH)
+
+        def run_stream(n):
+            return [run_once() for _ in range(n)]
+
         desc = f"{num_tiles(LR_H, LR_W, TILE, OVERLAP)} tiles"
 
     t0 = time.time()
     _ = run_once()
     warm_s = time.time() - t0
 
-    # timed runs
-    runs = 3
+    # timed runs (steady-state over an image stream)
+    runs = 4
     t0 = time.time()
-    for _ in range(runs):
-        sr = run_once()
+    outs = run_stream(runs)
     elapsed = (time.time() - t0) / runs
+    sr = outs[-1]
 
     out_mp = (LR_H * 4) * (LR_W * 4) / 1e6
     mps = out_mp / elapsed

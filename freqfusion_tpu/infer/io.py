@@ -253,6 +253,43 @@ class InferencePipeline:
         return tiled_sr(lr, self.forward_batch, self.tile, self.overlap,
                         self.tile_batch, self.model.cfg.upscale)
 
+    # ---- pipelined uint8 serving ---------------------------------------
+    # The TPU tunnel moves ~20-30 MB/s: fetching a f32 HR frame costs ~1.6 s
+    # against ~0.5 s as uint8 (clip+*255+round on device — byte-identical
+    # PNGs to the host conversion in utils/imageio.save_image). dispatch/
+    # materialize are split so a directory loop overlaps image i+1's compute
+    # with image i's transfer + PNG encode.
+    def _fwd_u8(self):
+        fn = getattr(self, "_fwd_u8_fn", None)
+        if fn is None:
+            bf16 = self.dtype == "bfloat16"
+
+            def fwd(variables, tiles):
+                if bf16:
+                    tiles = tiles.astype(jnp.bfloat16)
+                out = self.model.apply(variables, tiles).astype(jnp.float32)
+                return jnp.round(
+                    jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+            fn = self._fwd_u8_fn = jax.jit(fwd)
+        return fn
+
+    def dispatch_image_u8(self, lr: np.ndarray):
+        """Async whole-image dispatch → (device_u8_array, (h, w)) or None
+        when the image must take the tiled path."""
+        plan = self._whole_image_plan(lr.shape[0], lr.shape[1])
+        if plan is None:
+            return None
+        hp, wp = plan
+        h, w, _ = lr.shape
+        lrp = np.pad(lr, [(0, hp - h), (0, wp - w), (0, 0)], mode="reflect")
+        return self._fwd_u8()(self.variables, jnp.asarray(lrp[None])), (h, w)
+
+    def materialize_u8(self, handle) -> np.ndarray:
+        dev, (h, w) = handle
+        s = self.model.cfg.upscale
+        return np.asarray(dev)[0, : h * s, : w * s]
+
 
 def main(model_dir: str, input_path: str, output_path: str, device=None):
     """The challenge `model_func(model_dir, input_path, output_path, device)`
@@ -275,14 +312,41 @@ def main(model_dir: str, input_path: str, output_path: str, device=None):
             kwargs[k] = ov["infer"][k]
     pipe = InferencePipeline(model_dir, **kwargs)
     files = list_images(input_path)
+
+    # pipelined directory loop: image i+1's compute overlaps image i's
+    # device→host transfer + PNG encode (see dispatch_image_u8)
+    from PIL import Image
+
+    pending = None  # (handle, out_path, name, lr_wh, t_dispatch)
+
+    def flush(p):
+        handle, out, name, (lw, lh), t0 = p
+        arr = pipe.materialize_u8(handle)
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        Image.fromarray(arr).save(out)
+        print(f"  {name}: {lw}x{lh} → {arr.shape[1]}x{arr.shape[0]} "
+              f"in {time.time() - t0:.2f}s")
+
     for f in files:
         t0 = time.time()
         lr = load_image(f)
-        sr = pipe.run_image(lr)
         out = os.path.join(output_path, os.path.basename(f))
-        save_image(sr, out)
-        print(f"  {os.path.basename(f)}: {lr.shape[1]}x{lr.shape[0]} → "
-              f"{sr.shape[1]}x{sr.shape[0]} in {time.time() - t0:.2f}s")
+        handle = pipe.dispatch_image_u8(lr)
+        if handle is None:  # oversized → synchronous tiled fallback
+            if pending is not None:
+                flush(pending)
+                pending = None
+            sr = pipe.run_image(lr)
+            save_image(sr, out)
+            print(f"  {os.path.basename(f)}: {lr.shape[1]}x{lr.shape[0]} → "
+                  f"{sr.shape[1]}x{sr.shape[0]} in {time.time() - t0:.2f}s")
+            continue
+        if pending is not None:
+            flush(pending)
+        pending = (handle, out, os.path.basename(f),
+                   (lr.shape[1], lr.shape[0]), t0)
+    if pending is not None:
+        flush(pending)
     return len(files)
 
 
