@@ -38,11 +38,11 @@ DTYPE = os.environ.get("FREQFUSION_BENCH_DTYPE", "float32")  # or "bfloat16"
 # set FREQFUSION_USE_PALLAS=0 to compare against the pure-XLA chain
 USE_PALLAS = os.environ.get("FREQFUSION_USE_PALLAS", "1") == "1"
 # single-dispatch full-image forward (the reference's own default path,
-# io.py:214-231). Measured SLOWER than tiled on this chip (0.791 vs 0.851
-# MP/s: the strip kernels' block choices degrade at 512-wide shapes), so
-# the bench defaults to the tiled pipeline; FREQFUSION_WHOLE_IMAGE=1
-# switches for iteration on the whole-image path.
-WHOLE_IMAGE = os.environ.get("FREQFUSION_WHOLE_IMAGE", "0") == "1"
+# io.py:214-231) with the uint8 + stream-pipelined serving protocol:
+# 1.10 MP/s/chip vs 0.851 tiled f32 (the ~20-30 MB/s tunnel makes f32 HR
+# payloads cost ~1.6 s/frame; uint8 + dispatch-ahead hides the transfer).
+# FREQFUSION_WHOLE_IMAGE=0 benches the tiled fallback pipeline.
+WHOLE_IMAGE = os.environ.get("FREQFUSION_WHOLE_IMAGE", "1") == "1"
 LR_H, LR_W = 339, 510   # DIV2K ×4 LR size for a 2040×1356 HR image
 
 
