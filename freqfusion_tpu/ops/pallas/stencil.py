@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .nafblock import _pick_bh
-from .wattn import MOSAIC_PARAMS, _gelu_exact
+from .wattn import MOSAIC_PARAMS, _gelu_exact, _ln
 
 
 def stencil_enabled() -> bool:
@@ -152,7 +152,6 @@ def _kernel(*refs, ops, k: int, bh: int, h: int, w: int, n_weights: int,
         elif kind == "ln":
             wref, bref = wrefs[2 * op["wi"]], wrefs[2 * op["wi"] + 1]
             sh = t.shape
-            from .wattn import _ln
             t = _ln(t.reshape(-1, sh[-1]), wref[0],
                     bref[0]).reshape(sh)
         elif kind == "act":
