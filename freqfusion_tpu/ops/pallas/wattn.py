@@ -46,10 +46,18 @@ MOSAIC_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _pick_gh(n_win_rows: int, max_gh: int = 4) -> int:
-    for g in (max_gh, 4, 2, 1):
-        if g <= max_gh and n_win_rows % g == 0 and g <= n_win_rows:
-            return g
-    return 1
+    """Vertical window-stack per program. FREQFUSION_MAX_GH widens the
+    search (e.g. 11 for 22 window rows at whole-image shapes) — larger
+    stacks amortize weight fetches per program at the price of VMEM."""
+    import os
+    env = os.environ.get("FREQFUSION_MAX_GH")
+    if env:
+        max_gh = max(max_gh, int(env))
+    best = 1
+    for g in range(1, max_gh + 1):
+        if n_win_rows % g == 0:
+            best = g
+    return best
 
 
 def _mask_types(mask, n_wr: int, n_wc: int) -> np.ndarray:
