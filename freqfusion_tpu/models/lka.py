@@ -64,6 +64,31 @@ class LargeKernelAttention(nn.Module):
             return lka_gate(x, w5.reshape(5, 5, d), wh.reshape(k, d),
                             wv.reshape(k, d), wp.reshape(d, d), scale, shift)
 
+        # C=64 (the eval cross-band path at 9·B batch): pack batch PAIRS
+        # into the channel dim — depthwise convs are per-channel, the 1×1
+        # becomes block-diagonal, BN affine tiles — math-identical, and the
+        # kernel gets its full 128 lanes.
+        if (self.use_pallas and not train and not self.is_initializing()
+                and 2 * d % 128 == 0 and x.shape[0] % 2 == 0
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas.lka import lka_gate
+            scale, shift = bn.affine()
+            n, h, w_, _ = x.shape
+            x2 = jnp.transpose(x.reshape(n // 2, 2, h, w_, d),
+                               (0, 2, 3, 1, 4)).reshape(n // 2, h, w_, 2 * d)
+            w5r = jnp.tile(w5.reshape(5, 5, d), (1, 1, 2))
+            whr = jnp.tile(wh.reshape(k, d), (1, 2))
+            wvr = jnp.tile(wv.reshape(k, d), (1, 2))
+            wpr = wp.reshape(d, d)
+            z = jnp.zeros_like(wpr)
+            wpp = jnp.concatenate(
+                [jnp.concatenate([wpr, z], axis=1),
+                 jnp.concatenate([z, wpr], axis=1)], axis=0)
+            y = lka_gate(x2, w5r, whr, wvr, wpp,
+                         jnp.tile(scale, 2), jnp.tile(shift, 2))
+            return jnp.transpose(y.reshape(n // 2, h, w_, 2, d),
+                                 (0, 3, 1, 2, 4)).reshape(n, h, w_, d)
+
         def dw(t, kern, kh, kw):
             return jax.lax.conv_general_dilated(
                 t, kern.astype(t.dtype), (1, 1),
