@@ -142,6 +142,7 @@ class InferencePipeline:
         # measured 58 dB PSNR vs the f32 pipeline (PARITY.md §quantified) —
         # <0.01 dB against ground truth. FREQFUSION_DTYPE=bfloat16 enables.
         self.dtype = dtype or os.environ.get("FREQFUSION_DTYPE", "float32")
+        self.precision = precision
         self.tile, self.overlap = tile, overlap
         # multi-chip: shard the tile batch over a ('data',) mesh (the
         # TPU-native replacement for the reference's per-GPU expert placement,
@@ -263,11 +264,16 @@ class InferencePipeline:
         fn = getattr(self, "_fwd_u8_fn", None)
         if fn is None:
             bf16 = self.dtype == "bfloat16"
+            prec = "highest" if self.precision == "highest" else "bfloat16"
 
             def fwd(variables, tiles):
                 if bf16:
                     tiles = tiles.astype(jnp.bfloat16)
-                out = self.model.apply(variables, tiles).astype(jnp.float32)
+                # same matmul-precision contract as the f32 fwd above — the
+                # primary serving path must match the parity-validated one
+                with jax.default_matmul_precision(prec):
+                    out = self.model.apply(variables, tiles)
+                out = out.astype(jnp.float32)
                 return jnp.round(
                     jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 

@@ -8,10 +8,13 @@ Sobel edge — dispatched by `CombinedLoss`, which computes a component only
 when its weight > 0 (perceptual_loss.py:1228-1279) and swaps weights per
 training stage (`set_weights`).
 
-VGG and CLIP perceptual losses require pretrained backbones that cannot be
-fetched in this environment; `CombinedLoss` mirrors the reference's
+VGG and CLIP perceptual losses require pretrained backbones; when none is
+reachable (zero-egress env) `CombinedLoss` mirrors the reference's
 graceful-degradation ladder (SWT→FFT, perceptual_loss.py:1266-1274) by
-redirecting their weight to the FFT loss with a warning.
+redirecting their weight to the FFT loss with a warning. Both go live the
+moment weights exist: FREQFUSION_VGG19_WEIGHTS / FREQFUSION_CLIP_WEIGHTS,
+or pass vgg_loss= / clip_loss= (reference use_clip dispatch,
+perceptual_loss.py:1087-1098, 1228-1279).
 """
 
 from __future__ import annotations
@@ -207,10 +210,12 @@ class CombinedLoss:
 
     def __init__(self, weights: Dict[str, float] = None,
                  swt_wavelet: str = "db4", swt_level: int = 2,
-                 vgg_loss: "VGGPerceptualLoss" = None):
+                 vgg_loss: "VGGPerceptualLoss" = None,
+                 clip_loss: "CLIPPerceptualLoss" = None):
         self.swt_wavelet = swt_wavelet
         self.swt_level = swt_level
         self._vgg = vgg_loss
+        self._clip = clip_loss
         self.weights: Dict[str, float] = dict(DEFAULT_WEIGHTS)
         if weights is not None:
             self.set_weights(weights)
@@ -225,8 +230,15 @@ class CombinedLoss:
                 self._vgg = VGGPerceptualLoss()
             except RuntimeError:
                 pass
+        if self.weights.get("clip", 0.0) > 0 and self._clip is None:
+            try:  # goes live if FREQFUSION_CLIP_WEIGHTS points at a ckpt
+                self._clip = CLIPPerceptualLoss()
+            except RuntimeError:
+                pass
         for k in _UNAVAILABLE:
             if k == "vgg" and self._vgg is not None:
+                continue
+            if k == "clip" and self._clip is not None:
                 continue
             if self.weights.get(k, 0.0) > 0:
                 warnings.warn(
@@ -247,6 +259,8 @@ class CombinedLoss:
         }
         if self._vgg is not None:
             fns["vgg"] = self._vgg
+        if self._clip is not None:
+            fns["clip"] = self._clip
         total = jnp.asarray(0.0)
         components = {}
         for name, fn in fns.items():

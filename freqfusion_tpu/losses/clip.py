@@ -134,9 +134,10 @@ class CLIPPerceptualLoss:
 
     def __init__(self, quality_threshold: float = 0.5, params=None,
                  pos_features=None, neg_features=None,
-                 weights_path: Optional[str] = None):
+                 weights_path: Optional[str] = None,
+                 model: Optional[CLIPVisionTransformer] = None):
         self.quality_threshold = float(quality_threshold)
-        self.model = CLIPVisionTransformer()
+        self.model = model if model is not None else CLIPVisionTransformer()
         weights_path = weights_path or os.environ.get(
             "FREQFUSION_CLIP_WEIGHTS")
         if params is None and weights_path and os.path.exists(weights_path):

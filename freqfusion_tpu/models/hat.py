@@ -31,48 +31,13 @@ import numpy as np
 from ..ops import windows as W
 from ..ops.common import pixel_shuffle
 
+from .layers import _DenseParams, _LNParams, apply_ln  # canonical raw-param helpers
+
 RGB_MEAN = (0.4488, 0.4371, 0.4040)
 
 
 def gelu(x):
     return jax.nn.gelu(x, approximate=False)
-
-
-class _DenseParams(nn.Module):
-    """Raw kernel/bias with nn.Dense-compatible names/init, so the fused
-    Pallas paths can consume the same checkpoint tree as the XLA chain."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (self.in_features, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return k, b
-
-
-class _LNParams(nn.Module):
-    """Raw scale/bias with nn.LayerNorm-compatible names/init + an `apply`
-    replicating nn.LayerNorm's fast-variance math."""
-
-    features: int
-    eps: float = 1e-5
-
-    @nn.compact
-    def __call__(self):
-        w = self.param("scale", nn.initializers.ones, (self.features,))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return w, b
-
-
-def apply_ln(x, w, b, eps=1e-5):
-    """nn.LayerNorm default math (fast variance) on the last axis."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    mean2 = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
-    var = jnp.maximum(0.0, mean2 - jnp.square(mean))
-    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
 
 
 class Mlp(nn.Module):

@@ -64,8 +64,10 @@ class BatchNorm2d(nn.Module):
         return inv, self.offset - self.mean.value * inv
 
 
-class _DenseRaw(nn.Module):
-    """Raw kernel/bias with nn.Dense-compatible tree/init (fused paths)."""
+class _DenseParams(nn.Module):
+    """Raw kernel/bias with nn.Dense-compatible names/init, so fused Pallas
+    paths consume the same checkpoint tree as the XLA chain. The single
+    canonical raw-param helper (hat/dat/lka re-use it from here)."""
 
     in_features: int
     features: int
@@ -76,6 +78,28 @@ class _DenseRaw(nn.Module):
                        (self.in_features, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return k, b
+
+
+class _LNParams(nn.Module):
+    """Raw scale/bias with nn.LayerNorm-compatible names/init; apply with
+    `apply_ln` (nn.LayerNorm's fast-variance math)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return w, b
+
+
+def apply_ln(x, w, b, eps=1e-5):
+    """nn.LayerNorm default math (fast variance) on the last axis."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    mean2 = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
 
 
 class TorchMHA(nn.Module):
@@ -97,7 +121,7 @@ class TorchMHA(nn.Module):
                           (e, 3 * e))
         in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
         if raw:  # fused-kernel paths pull the params out (ops/pallas/bandmha)
-            ow = _DenseRaw(e, e, name="out_proj")()
+            ow = _DenseParams(e, e, name="out_proj")()
             return in_w, in_b, ow[0], ow[1]
         qkv = x @ in_w + in_b
         q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -52,7 +52,13 @@ def _pick_gh(n_win_rows: int, max_gh: int = 4) -> int:
     import os
     env = os.environ.get("FREQFUSION_MAX_GH")
     if env:
-        max_gh = max(max_gh, int(env))
+        try:
+            # cap at 32 window rows (≈0.5M tokens/program at ws16·C180 —
+            # past any feasible VMEM budget; bad values fail at Mosaic
+            # compile otherwise, deep in the stack and hard to attribute)
+            max_gh = max(max_gh, min(int(env), 32))
+        except ValueError:
+            pass
     best = 1
     for g in range(1, max_gh + 1):
         if n_win_rows % g == 0:

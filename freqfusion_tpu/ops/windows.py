@@ -158,25 +158,3 @@ def shift_attn_mask(h: int, w: int, hs: int, ws: int, sh: int, sw: int) -> np.nd
     wins = img.reshape(-1, hs * ws)
     diff = wins[:, None, :] - wins[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
-
-
-def shift_mask_types(h: int, w: int, hs: int, ws: int, sh: int,
-                     sw: int) -> np.ndarray:
-    """The 4 distinct shift-mask window types [4, N, N]:
-    0=interior, 1=last-column, 2=last-row, 3=corner.
-
-    A uniform (h%hs==0, w%ws==0) shifted-window partition only produces
-    these four patterns; materializing the full [nW, N, N] tensor embeds an
-    O(image)·N² constant in the program (184 MB at 352×512/ws16 — it blew
-    the remote-compile request limit). Asserts the 4-type structure holds.
-    """
-    full = shift_attn_mask(h, w, hs, ws, sh, sw)
-    n_wr, n_wc = h // hs, w // ws
-    grid = full.reshape(n_wr, n_wc, full.shape[1], full.shape[2])
-    types = np.stack([grid[0, 0], grid[0, n_wc - 1],
-                      grid[n_wr - 1, 0], grid[n_wr - 1, n_wc - 1]])
-    for i in range(n_wr):
-        for j in range(n_wc):
-            t = (2 if i == n_wr - 1 else 0) + (1 if j == n_wc - 1 else 0)
-            assert np.array_equal(grid[i, j], types[t]), (i, j, t)
-    return types

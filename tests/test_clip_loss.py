@@ -102,25 +102,53 @@ def test_clip_tower_parity_and_conversion(tmp_path):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
 
 
-def test_clip_loss_semantics(tmp_path):
+def _small_clip_loss(seed=2):
+    """A live CLIPPerceptualLoss on a tiny tower, built through the real
+    constructor (no weights file needed — params + prompt features are the
+    explicit-arg resolution path)."""
+    import jax
     import jax.numpy as jnp
 
-    from freqfusion_tpu.losses.clip import CLIPPerceptualLoss
+    from freqfusion_tpu.losses.clip import (CLIPPerceptualLoss,
+                                            CLIPVisionTransformer)
 
-    import jax
-    from freqfusion_tpu.losses.clip import CLIPVisionTransformer
     model = CLIPVisionTransformer(patch=16, width=64, layers=1, heads=2,
                                   output_dim=32)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
-    rng = np.random.default_rng(2)
-    loss = CLIPPerceptualLoss.__new__(CLIPPerceptualLoss)
-    loss.quality_threshold = 0.5
-    loss.model = model
-    loss.params = variables
-    import jax.numpy as jnp2
+    rng = np.random.default_rng(seed)
     pos = rng.normal(size=(5, 32)).astype(np.float32)
     neg = rng.normal(size=(5, 32)).astype(np.float32)
-    loss.pos = jnp2.asarray(pos / np.linalg.norm(pos, axis=-1, keepdims=True))
-    loss.neg = jnp2.asarray(neg / np.linalg.norm(neg, axis=-1, keepdims=True))
+    return CLIPPerceptualLoss(params=variables, pos_features=pos,
+                              neg_features=neg, model=model)
+
+
+def test_clip_loss_semantics():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    loss = _small_clip_loss()
     out = loss(jnp.asarray(rng.uniform(size=(2, 64, 48, 3)), jnp.float32))
     assert np.isfinite(float(out)) and float(out) >= 0.0
+
+
+def test_combined_loss_dispatches_clip():
+    """The production dispatcher computes the clip component when a live
+    CLIP loss is present (reference perceptual_loss.py:1087-1098, 1228-1279
+    use_clip/clip_weight dispatch) — no FFT redirect."""
+    import jax.numpy as jnp
+
+    from freqfusion_tpu.losses import CombinedLoss
+
+    clip = _small_clip_loss()
+    crit = CombinedLoss(weights={"l1": 1.0, "clip": 0.1, "charbonnier": 0.0,
+                                 "l2": 0.0, "vgg": 0.0, "swt": 0.0,
+                                 "fft": 0.0, "edge": 0.0, "ssim": 0.0},
+                        clip_loss=clip)
+    assert crit.weights["clip"] == 0.1     # NOT redirected to fft
+    assert crit.weights["fft"] == 0.0
+    rng = np.random.default_rng(3)
+    pred = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    target = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)), jnp.float32)
+    total, comps = crit(pred, target)
+    assert "clip" in comps and np.isfinite(float(comps["clip"]))
+    assert np.isfinite(float(total))
