@@ -328,8 +328,51 @@ class OCAB(nn.Module):
         return x + mlp(apply_ln(x, ln2_w, ln2_b))
 
 
+def scan_blocks_enabled() -> bool:
+    """lax.scan over identical transformer blocks (FREQFUSION_SCAN=0 to
+    unroll). One traced/compiled block body replaces N inlined copies —
+    the 72 HAB call sites of HAT-L collapse to 2 — cutting fresh-process
+    compile time an order of magnitude at identical math."""
+    import os
+    return os.environ.get("FREQFUSION_SCAN", "1") == "1"
+
+
+def _scan_stack(body_module, carry, length: int):
+    """nn.scan a single-arg module `length` times over `carry` (params gain
+    a leading stack axis; converter: utils/convert.Stacked)."""
+    scan = nn.scan(lambda mdl, c, _: (mdl(c), None),
+                   variable_axes={"params": 0}, split_rngs={"params": True},
+                   length=length)
+    carry, _ = scan(body_module, carry, None)
+    return carry
+
+
+class _HABPair(nn.Module):
+    """One (shift-0, shifted) HAB pair — the repeating unit of a RHAG."""
+
+    dim: int
+    num_heads: int
+    window: int
+    compress: int
+    squeeze: int
+    conv_scale: float
+    mlp_ratio: float
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for b, shift in ((0, 0), (1, self.window // 2)):
+            x = HAB(self.dim, self.num_heads, self.window, shift,
+                    self.compress, self.squeeze, self.conv_scale,
+                    self.mlp_ratio, self.use_pallas, name=f"blk{b}")(x)
+        return x
+
+
 class RHAG(nn.Module):
-    """Residual Hybrid Attention Group: depth × HAB + OCAB + 3×3 conv + skip."""
+    """Residual Hybrid Attention Group: depth × HAB + OCAB + 3×3 conv + skip.
+
+    Even depths scan over (shift-0, shifted) HAB pairs (param subtree
+    'pairs' with a leading depth/2 axis) instead of unrolling."""
 
     dim: int
     depth: int
@@ -345,11 +388,17 @@ class RHAG(nn.Module):
     @nn.compact
     def __call__(self, x):
         res = x
-        for i in range(self.depth):
-            x = HAB(self.dim, self.num_heads, self.window,
-                    0 if i % 2 == 0 else self.window // 2,
-                    self.compress, self.squeeze, self.conv_scale,
-                    self.mlp_ratio, self.use_pallas, name=f"blocks_{i}")(x)
+        if self.depth % 2 == 0 and self.depth >= 2 and scan_blocks_enabled():
+            pair = _HABPair(self.dim, self.num_heads, self.window,
+                            self.compress, self.squeeze, self.conv_scale,
+                            self.mlp_ratio, self.use_pallas, name="pairs")
+            x = _scan_stack(pair, x, self.depth // 2)
+        else:
+            for i in range(self.depth):
+                x = HAB(self.dim, self.num_heads, self.window,
+                        0 if i % 2 == 0 else self.window // 2,
+                        self.compress, self.squeeze, self.conv_scale,
+                        self.mlp_ratio, self.use_pallas, name=f"blocks_{i}")(x)
         x = OCAB(self.dim, self.window, self.overlap_ratio, self.num_heads,
                  self.mlp_ratio, self.use_pallas, name="overlap_attn")(x)
         x = nn.Conv(self.dim, (3, 3), name="conv")(x)
@@ -385,11 +434,22 @@ class HAT(nn.Module):
 
         x = nn.Conv(self.embed_dim, (3, 3), name="conv_first")(x)
         feat = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
-        for i, d in enumerate(self.depths):
-            feat = RHAG(self.embed_dim, d, self.num_heads[i], self.window,
-                        self.compress, self.squeeze, self.conv_scale,
-                        self.overlap_ratio, self.mlp_ratio, self.use_pallas,
-                        name=f"layers_{i}")(feat)
+        uniform = (len(set(self.depths)) == 1
+                   and len(set(self.num_heads)) == 1)
+        if uniform and len(self.depths) > 1 and scan_blocks_enabled():
+            # all RHAGs identical → scan (param subtree 'layers' with a
+            # leading n-groups axis; torch keys remap in convert.hat_key_fn)
+            group = RHAG(self.embed_dim, self.depths[0], self.num_heads[0],
+                         self.window, self.compress, self.squeeze,
+                         self.conv_scale, self.overlap_ratio, self.mlp_ratio,
+                         self.use_pallas, name="layers")
+            feat = _scan_stack(group, feat, len(self.depths))
+        else:
+            for i, d in enumerate(self.depths):
+                feat = RHAG(self.embed_dim, d, self.num_heads[i], self.window,
+                            self.compress, self.squeeze, self.conv_scale,
+                            self.overlap_ratio, self.mlp_ratio,
+                            self.use_pallas, name=f"layers_{i}")(feat)
         feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
         deep = nn.Conv(self.embed_dim, (3, 3), name="conv_after_body")(feat)
         x = deep + x

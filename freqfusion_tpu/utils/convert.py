@@ -66,6 +66,24 @@ def _adapt(torch_arr: np.ndarray, flax_shape: Tuple[int, ...],
     return a
 
 
+class Stacked:
+    """Key spec for a scan-stacked flax leaf (lax.scan over identical
+    blocks stacks their params along leading axes).
+
+    `naxes` leading axes of the leaf are stack dims; `fmt(*idx)` yields the
+    torch key of each slice. fill_params gathers every slice (row-major over
+    the leading dims) and stacks.
+    """
+
+    def __init__(self, naxes: int, fmt: Callable[..., str]):
+        self.naxes = naxes
+        self.fmt = fmt
+
+    def keys(self, leaf_shape: Tuple[int, ...]):
+        dims = tuple(leaf_shape[: self.naxes])
+        return [self.fmt(*idx) for idx in np.ndindex(dims)]
+
+
 def fill_params(flax_params, torch_sd: Dict[str, np.ndarray],
                 key_fn: Callable[[Tuple[str, ...]], str],
                 strict: bool = True):
@@ -74,14 +92,34 @@ def fill_params(flax_params, torch_sd: Dict[str, np.ndarray],
     Returns (new_params, report) where report lists missing/unused keys.
     With strict=True a missing torch key raises; strict=False keeps the
     existing (random-init) leaf like the reference's strict=False load.
+    `key_fn` may return a `Stacked` spec for scan-stacked leaves, whose
+    slices are gathered and stacked along the leading axes.
     """
     flat = traverse_util.flatten_dict(flax_params)
     used, missing = set(), []
     out = {}
     for path, leaf in flat.items():
         tkey = key_fn(path)
-        if tkey in torch_sd:
-            out[path] = _adapt(torch_sd[tkey], leaf.shape,
+        shape = tuple(np.asarray(leaf).shape) if not hasattr(leaf, "shape") \
+            else tuple(leaf.shape)
+        if isinstance(tkey, Stacked):
+            keys = tkey.keys(shape)
+            slice_shape = shape[tkey.naxes:]
+            absent = [k for k in keys if k not in torch_sd]
+            if absent:
+                if strict:
+                    raise KeyError(
+                        f"torch key {absent[0]!r} (slice of flax path {path})"
+                        " not found")
+                missing.append((path, absent[0]))
+                out[path] = leaf
+                continue
+            stacked = np.stack([_adapt(torch_sd[k], slice_shape, path[-1])
+                                for k in keys])
+            out[path] = stacked.reshape(shape).astype(np.asarray(leaf).dtype)
+            used.update(keys)
+        elif tkey in torch_sd:
+            out[path] = _adapt(torch_sd[tkey], shape,
                                path[-1]).astype(np.asarray(leaf).dtype)
             used.add(tkey)
         else:
@@ -380,13 +418,38 @@ def v2_key_fn(path: Tuple[str, ...]) -> str:
     return ".".join(toks + [_LEAF.get(leaf, leaf)])
 
 
-def hat_key_fn(path: Tuple[str, ...]) -> str:
-    """Flax path → torch key for the HAT state dict.
+def hat_key_fn(path: Tuple[str, ...]):
+    """Flax path → torch key (or Stacked spec) for the HAT state dict.
 
     ('layers_0','blocks_1','conv_block','ca','fc1','kernel')
       → 'layers.0.residual_group.blocks.1.conv_block.cab.3.attention.1.weight'
+
+    Scanned layouts (models/hat.py scan_blocks_enabled): subtree 'layers'
+    (no index) stacks all groups; subtree 'pairs'/'blk{0,1}' stacks the
+    (shift-0, shifted) HAB pairs within a group — both map to Stacked specs
+    over the corresponding torch 'layers.{i}...blocks.{2p+b}' keys.
     """
     parts = [p for p in path if p != "params"]
+    group_scan = bool(parts) and parts[0] == "layers"
+    pair_pos = next((j for j, p in enumerate(parts) if p == "pairs"), None)
+    if group_scan or pair_pos is not None:
+        def vparts(gi=None, pi=None):
+            vp = list(parts)
+            if pair_pos is not None:
+                b = int(vp[pair_pos + 1][3:])      # 'blk0' / 'blk1'
+                vp[pair_pos:pair_pos + 2] = [f"blocks_{2 * pi + b}"]
+            if group_scan:
+                vp[0] = f"layers_{gi}"
+            return tuple(vp)
+        if group_scan and pair_pos is not None:
+            return Stacked(2, lambda gi, pi: _hat_parts_key(vparts(gi, pi)))
+        if group_scan:
+            return Stacked(1, lambda gi: _hat_parts_key(vparts(gi=gi)))
+        return Stacked(1, lambda pi: _hat_parts_key(vparts(pi=pi)))
+    return _hat_parts_key(tuple(parts))
+
+
+def _hat_parts_key(parts: Tuple[str, ...]) -> str:
     toks = []
     for i, p in enumerate(parts[:-1]):
         base, idx = _split_idx(p)

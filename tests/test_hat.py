@@ -44,18 +44,22 @@ def test_shape_contract():
 
 
 @requires_reference
-def test_parity_vs_reference():
+@pytest.mark.parametrize("depths", [(3, 3), (4, 4)])
+def test_parity_vs_reference(depths):
+    # (3,3): group-scan only (odd depth unrolls the blocks);
+    # (4,4): nested scan — HAB pairs within scanned groups — the HAT-L
+    # layout (depths (6,)*12), exercising the Stacked(2) converter spec
     import torch
     ref_mod = ref_import("src.models.hat")
     torch.manual_seed(0)
     ref = ref_mod.HAT(
         upscale=4, in_chans=3, img_size=8, window_size=4, compress_ratio=3,
         squeeze_factor=6, conv_scale=0.01, overlap_ratio=0.5, img_range=1.0,
-        depths=[3, 3], embed_dim=24, num_heads=[2, 2], mlp_ratio=2,
+        depths=list(depths), embed_dim=24, num_heads=[2, 2], mlp_ratio=2,
         drop_path_rate=0.0, upsampler="pixelshuffle",
         resi_connection="1conv").eval()
 
-    model = HAT(**_small_cfg())
+    model = HAT(**{**_small_cfg(), "depths": depths})
     x = np.random.default_rng(1).uniform(size=(1, 8, 12, 3)).astype(np.float32)
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
     sd = torch_state_dict_numpy(ref)
