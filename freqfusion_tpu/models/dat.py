@@ -212,8 +212,7 @@ class AdaptiveSpatialAttention(nn.Module):
     num_heads: int
     split_size: Sequence[int]
     shift_size: Sequence[int]
-    rg_idx: int
-    b_idx: int
+    shift: bool
     use_pallas: bool = False
 
     @nn.compact
@@ -233,7 +232,7 @@ class AdaptiveSpatialAttention(nn.Module):
 
         qp, kp, vp = pad(q), pad(k), pad(v)
         half = c // 2
-        shift = _should_shift(self.rg_idx, self.b_idx)
+        shift = self.shift
 
         outs = []
         for br, (hs, ws, sh, sw) in enumerate(
@@ -373,18 +372,18 @@ class DATB(nn.Module):
     num_heads: int
     split_size: Sequence[int]
     expansion: float
-    rg_idx: int
-    b_idx: int
+    spatial: bool
+    shift: bool
     use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        if self.b_idx % 2 == 0:
+        if self.spatial:
             shift = [self.split_size[0] // 2, self.split_size[1] // 2]
             h = AdaptiveSpatialAttention(
                 self.dim, self.num_heads, self.split_size, shift,
-                self.rg_idx, self.b_idx, self.use_pallas, name="attn")(h)
+                self.shift, self.use_pallas, name="attn")(h)
         else:
             h = AdaptiveChannelAttention(self.dim, self.num_heads,
                                          self.use_pallas, name="attn")(h)
@@ -414,9 +413,33 @@ class ResidualGroup(nn.Module):
         res = x
         for j in range(self.depth):
             x = DATB(self.dim, self.num_heads, self.split_size, self.expansion,
-                     self.rg_idx, j, self.use_pallas, name=f"blocks_{j}")(x)
+                     j % 2 == 0, _should_shift(self.rg_idx, j),
+                     self.use_pallas, name=f"blocks_{j}")(x)
         x = nn.Conv(self.dim, (3, 3), name="conv")(x)
         return res + x
+
+
+class _RGPair(nn.Module):
+    """One (even-rg, odd-rg) ResidualGroup pair — the repeating unit of DAT.
+
+    _should_shift depends only on rg parity, so every consecutive group
+    pair is structurally identical and the whole trunk is a lax.scan over
+    n_groups/2 pairs (36 DATB trace sites → 12 for DAT-L)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    split_size: Sequence[int]
+    expansion: float
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for g in (0, 1):
+            x = ResidualGroup(self.dim, self.depth, self.num_heads,
+                              self.split_size, self.expansion, g,
+                              self.use_pallas, name=f"g{g}")(x)
+        return x
 
 
 class DAT(nn.Module):
@@ -440,10 +463,20 @@ class DAT(nn.Module):
 
         x = nn.Conv(self.embed_dim, (3, 3), name="conv_first")(x)
         feat = nn.LayerNorm(epsilon=1e-5, name="before_rg_norm")(x)
-        for i, d in enumerate(self.depths):
-            feat = ResidualGroup(self.embed_dim, d, self.num_heads[i],
-                                 self.split_size, self.expansion, i,
-                                 self.use_pallas, name=f"layers_{i}")(feat)
+        from .hat import scan_blocks_enabled, _scan_stack
+        uniform = (len(set(self.depths)) == 1
+                   and len(set(self.num_heads)) == 1)
+        if (uniform and len(self.depths) >= 2 and len(self.depths) % 2 == 0
+                and scan_blocks_enabled()):
+            pair = _RGPair(self.embed_dim, self.depths[0], self.num_heads[0],
+                           self.split_size, self.expansion, self.use_pallas,
+                           name="layers")
+            feat = _scan_stack(pair, feat, len(self.depths) // 2)
+        else:
+            for i, d in enumerate(self.depths):
+                feat = ResidualGroup(self.embed_dim, d, self.num_heads[i],
+                                     self.split_size, self.expansion, i,
+                                     self.use_pallas, name=f"layers_{i}")(feat)
         feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
         deep = nn.Conv(self.embed_dim, (3, 3), name="conv_after_body")(feat)
         x = deep + x

@@ -213,13 +213,26 @@ _DAT_CI = {"fc1": "1", "bn": "2", "fc2": "4"}   # Sequential(GAP,Conv,BN,GELU,Co
 _DAT_SI = {"fc1": "0", "bn": "1", "fc2": "3"}   # Sequential(Conv,BN,GELU,Conv)
 
 
-def dat_key_fn(path: Tuple[str, ...]) -> str:
-    """Flax path → torch key for the DAT state dict.
+def dat_key_fn(path: Tuple[str, ...]):
+    """Flax path → torch key (or Stacked spec) for the DAT state dict.
 
     ('layers_0','blocks_1','attn','attns_0','pos','pos1_fc','kernel')
       → 'layers.0.blocks.1.attn.attns.0.pos.pos1.2.weight'
+
+    Scanned layout (models/dat.py _RGPair scan): subtree 'layers'/'g{0,1}'
+    stacks the (even-rg, odd-rg) group pairs → Stacked spec over torch
+    'layers.{2*gi+g}' keys.
     """
     parts = [p for p in path if p != "params"]
+    if parts and parts[0] == "layers":
+        g = int(parts[1][1:])          # 'g0' / 'g1'
+        rest = list(parts[2:])
+        return Stacked(1, lambda gi: _dat_parts_key(
+            [f"layers_{2 * gi + g}"] + rest))
+    return _dat_parts_key(parts)
+
+
+def _dat_parts_key(parts) -> str:
     toks = []
     for i, p in enumerate(parts[:-1]):
         base, idx = _split_idx(p)
