@@ -218,17 +218,37 @@ class InferencePipeline:
     # tiles only on OOM). One dispatch skips the ~1.28× tile-overlap
     # recompute; shapes are bucketed to 32-px multiples so a homogeneous
     # test set (e.g. DIV2K) compiles a handful of programs, and images
-    # beyond the pixel budget or the shape-cache cap fall back to tiles.
+    # beyond the pixel budget or the shape-cache cap fall back to tiles
+    # (logged — the fallback changes throughput ~25%, never output pixels).
+    # 280000 px covers every DIV2K ×4 LR frame after 32-px padding
+    # (≤512×544); FREQFUSION_WHOLE_IMAGE_PX=0 disables whole-image mode.
     WHOLE_IMAGE_MAX_PX = int(os.environ.get(
-        "FREQFUSION_WHOLE_IMAGE_PX", "230000"))
-    WHOLE_IMAGE_MAX_SHAPES = 6
+        "FREQFUSION_WHOLE_IMAGE_PX", "280000"))
+    WHOLE_IMAGE_MAX_SHAPES = int(os.environ.get(
+        "FREQFUSION_WHOLE_IMAGE_SHAPES", "6"))
 
-    def _whole_image_plan(self, h: int, w: int):
-        if self.mesh is not None or self.WHOLE_IMAGE_MAX_PX <= 0:
+    def _cliff_warn(self, key, msg):
+        seen = getattr(self, "_cliff_seen", None)
+        if seen is None:
+            seen = self._cliff_seen = set()
+        if key not in seen:
+            seen.add(key)
+            warnings.warn(msg)
+
+    def _whole_image_plan(self, h: int, w: int, commit: bool = True):
+        """(padded_h, padded_w) bucket for a whole-image dispatch, or None
+        when the image must take the tiled path. `commit=False` only probes
+        (no shape-cache entry) — the directory loop's batch grouping."""
+        if self.WHOLE_IMAGE_MAX_PX <= 0:
             return None
         hp = -(-max(h, 64) // 32) * 32
         wp = -(-max(w, 64) // 32) * 32
         if hp * wp > self.WHOLE_IMAGE_MAX_PX:
+            self._cliff_warn(
+                ("px", hp, wp),
+                f"whole-image fallback → tiled: {w}x{h} pads to {wp}x{hp} "
+                f"({hp * wp} px > FREQFUSION_WHOLE_IMAGE_PX="
+                f"{self.WHOLE_IMAGE_MAX_PX})")
             return None
         if hp - h >= h or wp - w >= w:   # reflect pad needs pad < size
             return None
@@ -237,8 +257,15 @@ class InferencePipeline:
             cache = self._whole_shapes = set()
         if (hp, wp) not in cache and \
                 len(cache) >= self.WHOLE_IMAGE_MAX_SHAPES:
+            self._cliff_warn(
+                ("cap", hp, wp),
+                f"whole-image fallback → tiled: shape cache full "
+                f"({len(cache)} shapes, FREQFUSION_WHOLE_IMAGE_SHAPES="
+                f"{self.WHOLE_IMAGE_MAX_SHAPES}); new bucket {wp}x{hp} "
+                "takes the tiled path")
             return None
-        cache.add((hp, wp))
+        if commit:
+            cache.add((hp, wp))
         return hp, wp
 
     def run_image(self, lr: np.ndarray) -> np.ndarray:
@@ -248,7 +275,10 @@ class InferencePipeline:
             h, w, _ = lr.shape
             lrp = np.pad(lr, [(0, hp - h), (0, wp - w), (0, 0)],
                          mode="reflect")
-            sr = np.asarray(self.forward_batch(lrp[None]))[0]
+            batch = lrp[None]
+            if self.mesh is not None:  # data-sharded fwd needs a full batch
+                batch = np.repeat(batch, self.mesh.devices.size, axis=0)
+            sr = np.asarray(self.forward_batch(batch))[0]
             s = self.model.cfg.upscale
             return sr[: h * s, : w * s]
         return tiled_sr(lr, self.forward_batch, self.tile, self.overlap,
@@ -277,24 +307,54 @@ class InferencePipeline:
                 return jnp.round(
                     jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
-            fn = self._fwd_u8_fn = jax.jit(fwd)
+            if self.mesh is not None:
+                fn = jax.jit(fwd, in_shardings=(self._repl_sh, self._data_sh),
+                             out_shardings=self._data_sh)
+            else:
+                fn = jax.jit(fwd)
+            self._fwd_u8_fn = fn
         return fn
 
-    def dispatch_image_u8(self, lr: np.ndarray):
-        """Async whole-image dispatch → (device_u8_array, (h, w)) or None
-        when the image must take the tiled path."""
-        plan = self._whole_image_plan(lr.shape[0], lr.shape[1])
-        if plan is None:
-            return None
-        hp, wp = plan
-        h, w, _ = lr.shape
-        lrp = np.pad(lr, [(0, hp - h), (0, wp - w), (0, 0)], mode="reflect")
-        return self._fwd_u8()(self.variables, jnp.asarray(lrp[None])), (h, w)
+    @property
+    def u8_group_max(self) -> int:
+        """Images per whole-image dispatch: the mesh size (batch sharded
+        over ('data',)) or 1 on a single chip."""
+        return self.mesh.devices.size if self.mesh is not None else 1
 
-    def materialize_u8(self, handle) -> np.ndarray:
-        dev, (h, w) = handle
+    def dispatch_batch_u8(self, lrs, plan=None):
+        """Async whole-image dispatch of a same-bucket image batch →
+        (device_u8_array, [(h, w), ...]) or None when the images must take
+        the tiled path. On a mesh the batch is sharded over ('data',) —
+        ragged tails are padded by repeating the last image."""
+        if plan is None:
+            plan = self._whole_image_plan(lrs[0].shape[0], lrs[0].shape[1])
+            if plan is None:
+                return None
+        hp, wp = plan
+        lrp = np.stack([
+            np.pad(a, [(0, hp - a.shape[0]), (0, wp - a.shape[1]), (0, 0)],
+                   mode="reflect") for a in lrs])
+        if self.mesh is not None:
+            pad_b = (-len(lrs)) % self.mesh.devices.size
+            if pad_b:
+                lrp = np.concatenate(
+                    [lrp, np.repeat(lrp[-1:], pad_b, axis=0)])
+            arr = jax.device_put(jnp.asarray(lrp), self._data_sh)
+        else:
+            arr = jnp.asarray(lrp)
+        metas = [(a.shape[0], a.shape[1]) for a in lrs]
+        return self._fwd_u8()(self.variables, arr), metas
+
+    def dispatch_image_u8(self, lr: np.ndarray):
+        """Single-image convenience wrapper over dispatch_batch_u8."""
+        return self.dispatch_batch_u8([lr])
+
+    def materialize_u8(self, handle):
+        """Device handle → list of HWC uint8 arrays (one per real image)."""
+        dev, metas = handle
         s = self.model.cfg.upscale
-        return np.asarray(dev)[0, : h * s, : w * s]
+        host = np.asarray(dev)
+        return [host[i, : h * s, : w * s] for i, (h, w) in enumerate(metas)]
 
 
 def main(model_dir: str, input_path: str, output_path: str, device=None):
@@ -319,26 +379,43 @@ def main(model_dir: str, input_path: str, output_path: str, device=None):
     pipe = InferencePipeline(model_dir, **kwargs)
     files = list_images(input_path)
 
-    # pipelined directory loop: image i+1's compute overlaps image i's
-    # device→host transfer + PNG encode (see dispatch_image_u8)
+    # pipelined directory loop: batch i+1's compute overlaps batch i's
+    # device→host transfer + PNG encode. Consecutive same-bucket images
+    # group into one whole-image dispatch (mesh: sharded over ('data',),
+    # single chip: batches of 1 — see dispatch_batch_u8).
     from PIL import Image
 
-    pending = None  # (handle, out_path, name, lr_wh, t_dispatch)
+    pending = None   # (handle, [(out_path, name, lr_wh, t0), ...])
+    group = []       # [(lr, out_path, name, t0), ...] awaiting dispatch
+    group_plan = None
 
     def flush(p):
-        handle, out, name, (lw, lh), t0 = p
-        arr = pipe.materialize_u8(handle)
-        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
-        Image.fromarray(arr).save(out)
-        print(f"  {name}: {lw}x{lh} → {arr.shape[1]}x{arr.shape[0]} "
-              f"in {time.time() - t0:.2f}s")
+        handle, items = p
+        for arr, (out, name, (lw, lh), t0) in zip(
+                pipe.materialize_u8(handle), items):
+            os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+            Image.fromarray(arr).save(out)
+            print(f"  {name}: {lw}x{lh} → {arr.shape[1]}x{arr.shape[0]} "
+                  f"in {time.time() - t0:.2f}s")
+
+    def dispatch_group():
+        nonlocal pending, group, group_plan
+        if not group:
+            return
+        handle = pipe.dispatch_batch_u8([g[0] for g in group], group_plan)
+        if pending is not None:
+            flush(pending)
+        pending = (handle, [(out, name, (lr.shape[1], lr.shape[0]), t0)
+                            for lr, out, name, t0 in group])
+        group, group_plan = [], None
 
     for f in files:
         t0 = time.time()
         lr = load_image(f)
         out = os.path.join(output_path, os.path.basename(f))
-        handle = pipe.dispatch_image_u8(lr)
-        if handle is None:  # oversized → synchronous tiled fallback
+        plan = pipe._whole_image_plan(lr.shape[0], lr.shape[1])
+        if plan is None:  # oversized → synchronous tiled fallback
+            dispatch_group()
             if pending is not None:
                 flush(pending)
                 pending = None
@@ -347,10 +424,13 @@ def main(model_dir: str, input_path: str, output_path: str, device=None):
             print(f"  {os.path.basename(f)}: {lr.shape[1]}x{lr.shape[0]} → "
                   f"{sr.shape[1]}x{sr.shape[0]} in {time.time() - t0:.2f}s")
             continue
-        if pending is not None:
-            flush(pending)
-        pending = (handle, out, os.path.basename(f),
-                   (lr.shape[1], lr.shape[0]), t0)
+        if group and plan != group_plan:
+            dispatch_group()
+        group.append((lr, out, os.path.basename(f), t0))
+        group_plan = plan
+        if len(group) >= pipe.u8_group_max:
+            dispatch_group()
+    dispatch_group()
     if pending is not None:
         flush(pending)
     return len(files)

@@ -38,3 +38,61 @@ def test_pipeline_png_roundtrip(tmp_path):
     assert os.path.exists(out_png)
     round_trip = load_image(str(out_png))
     assert round_trip.shape == (80, 112, 3)
+
+
+def test_sharded_whole_image_u8_batch():
+    """Mesh serving runs the same uint8 whole-image protocol as one chip:
+    a same-bucket batch shards over ('data',), ragged tails pad by repeat,
+    and outputs match the f32 run_image path to 1 uint8 LSB."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 (virtual) devices")
+
+    pipe = InferencePipeline(
+        model_dir="", tile=16, overlap=4, tile_batch=4,
+        fusion_config=FusionConfig(fusion_dim=16, num_heads=2, refine_depth=2,
+                                   refine_channels=8),
+        expert_kwargs=TINY, n_devices=4)
+    assert pipe.mesh is not None and pipe.u8_group_max == 4
+
+    rng = np.random.default_rng(1)
+    lrs = [rng.uniform(size=(40 + 2 * i, 56, 3)).astype(np.float32)
+           for i in range(3)]  # same 64x64-px bucket, ragged batch of 3
+    handle = pipe.dispatch_batch_u8(lrs)
+    assert handle is not None
+    outs = pipe.materialize_u8(handle)
+    assert len(outs) == 3
+    for lr, u8 in zip(lrs, outs):
+        assert u8.shape == (lr.shape[0] * 4, lr.shape[1] * 4, 3)
+        assert u8.dtype == np.uint8
+        ref = np.round(np.clip(pipe.run_image(lr), 0.0, 1.0) * 255.0)
+        assert np.abs(ref - u8.astype(np.float64)).max() <= 1.0
+
+
+def test_whole_image_cliff_warns():
+    """Tiled fallbacks (pixel budget / shape-cache cap) are logged, once."""
+    import warnings as w
+
+    pipe = InferencePipeline(
+        model_dir="", tile=16, overlap=4, tile_batch=1,
+        fusion_config=FusionConfig(fusion_dim=16, num_heads=2, refine_depth=2,
+                                   refine_channels=8),
+        expert_kwargs=TINY, n_devices=1)
+
+    pipe.WHOLE_IMAGE_MAX_PX = 64 * 64
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        assert pipe._whole_image_plan(96, 96) is None
+        assert pipe._whole_image_plan(96, 96) is None  # second: silent
+    assert len([r for r in rec if "FREQFUSION_WHOLE_IMAGE_PX" in
+                str(r.message)]) == 1
+
+    pipe.WHOLE_IMAGE_MAX_PX = 10 ** 9
+    pipe.WHOLE_IMAGE_MAX_SHAPES = 1
+    assert pipe._whole_image_plan(64, 64) is not None
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        assert pipe._whole_image_plan(128, 128) is None
+    assert any("shape cache full" in str(r.message) for r in rec)
