@@ -33,7 +33,7 @@ PERCEPTUAL_COLUMNS = ("lpips", "dists", "niqe", "musiq", "maniqa", "clipiqa")
 
 
 def _one_pair(args):
-    out_path, tgt_path, border = args
+    out_path, tgt_path, border, pristine = args
     from PIL import Image
     from freqfusion_tpu.utils.metrics import psnr_ssim_files
 
@@ -43,7 +43,11 @@ def _one_pair(args):
         tgt = np.asarray(Image.open(tgt_path).convert("RGB").resize(
             (out.shape[1], out.shape[0])))
     p, s = psnr_ssim_files(out, tgt, border)
-    return os.path.basename(out_path), p, s
+    nq = float("nan")
+    if pristine is not None:
+        from freqfusion_tpu.utils.niqe import niqe
+        nq = niqe(out, pristine)
+    return os.path.basename(out_path), p, s, nq
 
 
 def total_score(means: dict) -> float:
@@ -72,6 +76,12 @@ def main():
     ap.add_argument("--csv-dir", default=None,
                     help="where to write the csv/txt (default: next to the "
                          "output dir, keeping the reference's naming)")
+    ap.add_argument("--no-niqe", action="store_true",
+                    help="skip the native NIQE column")
+    ap.add_argument("--niqe-corpus", type=int, default=20,
+                    help="max ground-truth images used to fit the pristine "
+                         "NIQE model when model_zoo/niqe_pristine.npz is "
+                         "absent")
     args = ap.parse_args()
 
     outs = sorted(f for f in os.listdir(args.output) if f.lower().endswith(".png"))
@@ -79,8 +89,24 @@ def main():
     assert len(outs) == len(tgts), \
         f"count mismatch: {len(outs)} outputs vs {len(tgts)} targets"
 
+    # NIQE pristine model: user-provided npz, else fit from the ground-truth
+    # corpus (clean images by definition of the protocol) — utils/niqe.py
+    pristine = None
+    if not args.no_niqe:
+        from PIL import Image
+        from freqfusion_tpu.utils.niqe import fit_pristine, load_pristine
+        pristine = load_pristine()
+        if pristine is None:
+            corpus = [np.asarray(Image.open(
+                os.path.join(args.target, t)).convert("RGB"))
+                for t in tgts[:args.niqe_corpus]]
+            try:
+                pristine = fit_pristine(corpus)
+            except ValueError:
+                pristine = None  # images too small — column stays NaN
+
     jobs = [(os.path.join(args.output, o), os.path.join(args.target, t),
-             args.border) for o, t in zip(outs, tgts)]
+             args.border, pristine) for o, t in zip(outs, tgts)]
     if args.workers > 1 and len(jobs) > 1:
         with ProcessPoolExecutor(args.workers) as pool:
             rows = list(pool.map(_one_pair, jobs))
@@ -89,8 +115,11 @@ def main():
 
     psnr_mean = float(np.mean([r[1] for r in rows if math.isfinite(r[1])]))
     ssim_mean = float(np.mean([r[2] for r in rows]))
+    niqe_vals = [r[3] for r in rows if math.isfinite(r[3])]
     means = {"psnr": psnr_mean, "ssim": ssim_mean,
              **{k: float("nan") for k in PERCEPTUAL_COLUMNS}}
+    if niqe_vals:
+        means["niqe"] = float(np.mean(niqe_vals))
     means["total_score"] = total_score(means)
 
     parent = os.path.basename(os.path.dirname(os.path.abspath(args.output)))
@@ -99,10 +128,11 @@ def main():
     stem = os.path.join(csv_dir, f"{parent}--{folder}")
     with open(stem + ".csv", "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["image", "psnr", "ssim"])
-        for name, p, s in rows:
-            w.writerow([name, f"{p:.4f}", f"{s:.5f}"])
-        w.writerow(["MEAN", f"{psnr_mean:.4f}", f"{ssim_mean:.5f}"])
+        w.writerow(["image", "psnr", "ssim", "niqe"])
+        for name, p, s, nq in rows:
+            w.writerow([name, f"{p:.4f}", f"{s:.5f}", f"{nq:.4f}"])
+        w.writerow(["MEAN", f"{psnr_mean:.4f}", f"{ssim_mean:.5f}",
+                    f"{means['niqe']:.4f}"])
     with open(stem + ".txt", "w") as f:
         for k, v in means.items():
             f.write(f"{k}: {v}\n")

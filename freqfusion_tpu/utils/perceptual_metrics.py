@@ -7,8 +7,10 @@ module keeps the same interface and flag behavior — each metric reports
 availability, unavailable metrics return NaN, and `perceptual_score` uses
 whatever is available (same formula as eval.py:245-268).
 
-Always-available metrics implemented natively: PSNR, SSIM (Y, border 4) and
-a gradient-magnitude sharpness proxy.
+Always-available metrics implemented natively: PSNR, SSIM (Y, border 4), a
+gradient-magnitude sharpness proxy, and NIQE (utils/niqe.py — native
+feature pipeline; call `fit_pristine(corpus)` first, e.g. with the
+ground-truth images, to activate the column).
 """
 
 from __future__ import annotations
@@ -33,6 +35,8 @@ class PerceptualEvaluator:
     def __init__(self):
         self.lpips_available = _try_import("lpips")
         self.pyiqa_available = _try_import("pyiqa")
+        from .niqe import load_pristine
+        self._niqe_pristine = load_pristine()
         self._lpips = None
         if self.lpips_available:
             try:
@@ -44,11 +48,21 @@ class PerceptualEvaluator:
     @property
     def available_metrics(self):
         out = ["psnr", "ssim", "sharpness"]
+        if self._niqe_pristine is not None:
+            out.append("niqe")
         if self.lpips_available:
             out.append("lpips")
         if self.pyiqa_available:
-            out += ["dists", "niqe", "musiq", "maniqa", "clipiqa"]
+            out += ["dists", "musiq", "maniqa", "clipiqa"]
+            if "niqe" not in out:
+                out.append("niqe")
         return out
+
+    def fit_pristine(self, images) -> None:
+        """Fit the NIQE pristine model from a corpus of clean images
+        (typically the ground-truth set) — activates the niqe column."""
+        from .niqe import fit_pristine
+        self._niqe_pristine = fit_pristine(images)
 
     @staticmethod
     def sharpness(img: np.ndarray) -> float:
@@ -68,6 +82,9 @@ class PerceptualEvaluator:
             "niqe": float("nan"), "musiq": float("nan"),
             "maniqa": float("nan"), "clipiqa": float("nan"),
         }
+        if self._niqe_pristine is not None:
+            from .niqe import niqe
+            res["niqe"] = niqe(output, self._niqe_pristine)
         if self._lpips is not None:
             import torch
             to_t = lambda a: torch.from_numpy(
