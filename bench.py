@@ -47,12 +47,19 @@ LR_H, LR_W = 339, 510   # DIV2K ×4 LR size for a 2040×1356 HR image
 
 
 def main():
+    t_start = time.time()
+
+    def stage(name):
+        print(f"# [{time.time() - t_start:7.1f}s] {name}", file=sys.stderr,
+              flush=True)
+
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from freqfusion_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
+    stage("imports + cache setup")
 
     from freqfusion_tpu.models.experts import FreqFusionSR
     from freqfusion_tpu.models.fusion import FusionConfig
@@ -67,13 +74,17 @@ def main():
         host = jax.devices("cpu")[0]
     except RuntimeError:
         host = jax.devices()[0]
+    stage("backends up")
     with jax.default_device(host):
         variables = model.init(jax.random.PRNGKey(0), dummy)
+    stage("host-side init")
     if DTYPE == "bfloat16":
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
             if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, variables)
     variables = jax.device_put(variables, jax.devices()[0])
+    jax.block_until_ready(variables)
+    stage("params on device")
 
     def _fwd(v, t):
         if DTYPE == "bfloat16":
@@ -135,6 +146,7 @@ def main():
     t0 = time.time()
     _ = run_once()
     warm_s = time.time() - t0
+    stage(f"first pass done ({warm_s:.1f}s incl. trace+compile)")
 
     # timed runs (steady-state over an image stream)
     runs = 4

@@ -68,10 +68,9 @@ class SpatialEdgeAttention(nn.Module):
 class EdgeRefineBlock(nn.Module):
     """proj-residual 3-conv refiner + spatial gate.
 
-    With `use_pallas` (TPU, eval) the whole block runs as two strip-resident
-    conv-chain kernels (ops/pallas/stencil.py) — at the ×4-upsampled
-    resolution these 32-channel conv stacks are pure HBM round trips in XLA
-    (probe_head.py: edge enhancement ≈ 39 ms of the head's 136 at 192²×2).
+    Stays in XLA: a strip-resident conv-chain kernel variant measured
+    SLOWER here (tiny-K tap matmuls vs XLA's MXU conv stacks — PERF.md
+    kernel win/lose taxonomy), so the engine was removed.
     """
 
     feat_ch: int = 32
@@ -87,27 +86,6 @@ class EdgeRefineBlock(nn.Module):
         w3, b3 = _ConvParams((3, 3, fc, fc), name="conv3")()
         attn = SpatialEdgeAttention(fc, name="attn")
         wa1, ba1, wa2, ba2 = attn(raw=True)
-
-        from ..ops.pallas.stencil import run_conv_chain, stencil_enabled
-        if (self.use_pallas and stencil_enabled()
-                and not self.is_initializing()
-                and jax.default_backend() == "tpu"
-                and x.shape[1] % 2 == 0):
-            h = run_conv_chain(
-                x,
-                ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
-                     {"kind": "conv3", "wi": 1, "act": "gelu"}],
-                weights=[(w1, b1), (w2, b2)], k=2, out_channels=fc)
-            return run_conv_chain(
-                h,
-                ops=[{"kind": "conv3", "wi": 0, "act": None},
-                     {"kind": "conv1_aux", "wi": 1, "act": None, "add": True},
-                     {"kind": "save", "slot": 0},
-                     {"kind": "conv1", "wi": 2, "act": "gelu"},
-                     {"kind": "conv3", "wi": 3, "act": None},
-                     {"kind": "gate_saved", "slot": 0}],
-                weights=[(w3, b3), (wp, bp), (wa1, ba1), (wa2, ba2)],
-                k=2, out_channels=fc, aux=x, aux_channels=cin)
 
         def conv(t, w, b, kk):
             pad = [(kk // 2, kk // 2)] * 2
@@ -171,29 +149,13 @@ class LaplacianEdgeRefinement(nn.Module):
         strength = self.param("edge_strength",
                               lambda k, s: jnp.asarray(self.edge_strength_init), ())
 
-        from ..ops.pallas.stencil import stencil_enabled
-        fused_path = (self.use_pallas and stencil_enabled()
-                      and not self.is_initializing()
-                      and jax.default_backend() == "tpu" and h % 2 == 0)
-        if fused_path:
-            from ..ops.pallas.stencil import run_conv_chain
-            edge_map = run_conv_chain(
-                allf, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
-                           {"kind": "conv3", "wi": 1, "act": None}],
-                weights=[(wf1, bf1), (wf2, bf2)], k=2, out_channels=3)
-            gate = run_conv_chain(
-                jnp.concatenate([sr_img, edge_map], axis=-1),
-                ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
-                     {"kind": "conv3", "wi": 1, "act": "sigmoid"}],
-                weights=[(wg1, bg1), (wg2, bg2)], k=2, out_channels=1)
-        else:
-            def conv(t, w_, b_):
-                return jax.lax.conv_general_dilated(
-                    t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
+        def conv(t, w_, b_):
+            return jax.lax.conv_general_dilated(
+                t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
 
-            edge_map = conv(gelu(conv(allf, wf1, bf1)), wf2, bf2)
-            g = conv(jnp.concatenate([sr_img, edge_map], axis=-1), wg1, bg1)
-            gate = jax.nn.sigmoid(conv(gelu(g), wg2, bg2))
+        edge_map = conv(gelu(conv(allf, wf1, bf1)), wf2, bf2)
+        g = conv(jnp.concatenate([sr_img, edge_map], axis=-1), wg1, bg1)
+        gate = jax.nn.sigmoid(conv(gelu(g), wg2, bg2))
 
         return jnp.clip(sr_img + gate * strength * edge_map, 0.0, 1.0)

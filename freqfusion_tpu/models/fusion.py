@@ -145,22 +145,6 @@ class RefineNet(nn.Module):
                                     lambda k, s: jnp.asarray(0.1), ())
         up = resize(lr, fused.shape[1], fused.shape[2], "bilinear")
 
-        from ..ops.pallas.stencil import run_conv_chain, stencil_enabled
-        if (self.use_pallas and stencil_enabled()
-                and not self.is_initializing()
-                and jax.default_backend() == "tpu"
-                and fused.shape[1] % 2 == 0 and self.depth % 2 == 0):
-            h = fused
-            for i in range(0, self.depth, 2):
-                acts = ["gelu" if j < self.depth - 1 else None
-                        for j in (i, i + 1)]
-                h = run_conv_chain(
-                    h, ops=[{"kind": "conv3", "wi": 0, "act": acts[0]},
-                            {"kind": "conv3", "wi": 1, "act": acts[1]}],
-                    weights=[ws[i], ws[i + 1]], k=2,
-                    out_channels=ws[i + 1][0].shape[-1])
-            return jnp.clip(fused + 0.1 * h + residual_scale * up, 0.0, 1.0)
-
         def conv(t, w_, b_):
             return jax.lax.conv_general_dilated(
                 t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],

@@ -76,41 +76,20 @@ class ChannelAttention(nn.Module):
 
 
 class CAB(nn.Module):
-    """Conv attention branch of HAB: 3×3 (C→C/compress) → GELU → 3×3 → CA.
-
-    `pre(x)` (TPU eval) runs LN1 + the two convs as one strip-resident chain
-    kernel and returns (pre_CA tensor, CA scale [B,1,1,C]) so the fused HAB
-    kernel can apply the scale in-register (models/hat.py HAB)."""
+    """Conv attention branch of HAB: 3×3 (C→C/compress) → GELU → 3×3 → CA."""
 
     features: int
     compress: int = 3
     squeeze: int = 30
 
     @nn.compact
-    def __call__(self, x, ln=None, chain: bool = False):
+    def __call__(self, x):
         from .nafnet import _ConvParams
         c = self.features
         mid = c // self.compress
         w1, b1 = _ConvParams((3, 3, c, mid), name="conv1")()
         w2, b2 = _ConvParams((3, 3, mid, c), name="conv2")()
         ca = ChannelAttention(c, self.squeeze, name="ca")
-        ca_w1, ca_b1, ca_w2, ca_b2 = ca(raw=True)
-
-        if chain:
-            # x is RAW (pre-LN1); ln = (scale, bias) of norm1
-            from ..ops.pallas.stencil import run_conv_chain
-            pre = run_conv_chain(
-                x, ops=[{"kind": "ln", "wi": 0},
-                        {"kind": "conv3", "wi": 1, "act": "gelu"},
-                        {"kind": "conv3", "wi": 2, "act": None}],
-                weights=[(ln[0], ln[1]), (w1, b1), (w2, b2)],
-                k=2, out_channels=c)
-            pooled = jnp.mean(pre, axis=(1, 2), keepdims=True)
-            y = jax.nn.relu(jnp.einsum(
-                "bhwc,cd->bhwd", pooled, ca_w1.reshape(c, -1)) + ca_b1)
-            scale = jax.nn.sigmoid(jnp.einsum(
-                "bhwc,cd->bhwd", y, ca_w2.reshape(-1, c)) + ca_b2)
-            return pre, scale
 
         def conv(t, w_, b_):
             return jax.lax.conv_general_dilated(
@@ -218,16 +197,12 @@ class HAB(nn.Module):
                 and jax.default_backend() == "tpu" and self.window >= 8
                 and h % 2 == 0 and w % 2 == 0):
             # whole-block fused kernel (LN1+W-MSA+residuals+LN2+MLP); the CAB
-            # conv branch runs as a strip-resident LN+conv chain whose CA
-            # gate is applied in-register inside the HAB kernel. Residuals
-            # commute with the shift roll, so shifted blocks run entirely in
-            # rolled coordinates.
-            from ..ops.pallas.stencil import stencil_enabled
-            if stencil_enabled():
-                cab_pre, ca_scale = cab(x, ln=(ln1_w, ln1_b), chain=True)
-            else:
-                cab_pre = cab(apply_ln(x, ln1_w, ln1_b))
-                ca_scale = None
+            # conv branch stays in XLA — its dense convs are already
+            # MXU-bound (a strip-chain variant measured slower, PERF.md).
+            # Residuals commute with the shift roll, so shifted blocks run
+            # entirely in rolled coordinates.
+            cab_pre = cab(apply_ln(x, ln1_w, ln1_b))
+            ca_scale = None
             wqkv, bqkv, wproj, bproj, bias = attn_mod(x, raw=True)
             k1, b1, k2, b2 = mlp(x, raw=True)
             from ..ops.pallas.wattn import fused_hab_block

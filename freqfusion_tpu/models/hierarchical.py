@@ -63,10 +63,8 @@ class ResBlock(nn.Module):
 
 
 class _Stage(nn.Module):
-    """conv+GELU ×2 → SpatialGate → ResBlock. With `use_pallas` (TPU eval)
-    the stage runs as two strip-resident conv-chain kernels
-    (ops/pallas/stencil.py) — these HR small-channel stacks are HBM-bound
-    in XLA (probe_head.py: hierarchical ≈ 31 ms of the head at 192²×2)."""
+    """conv+GELU ×2 → SpatialGate → ResBlock (XLA: the strip-chain kernel
+    variant measured slower than XLA's MXU conv stacks — PERF.md)."""
 
     out1: int
     out2: int
@@ -80,31 +78,6 @@ class _Stage(nn.Module):
         w2, b2 = _ConvParams((3, 3, self.out1, self.out2), name="conv2")()
         gate = SpatialGate(self.out2, name="gate")
         res = ResBlock(self.out2, name="res")
-
-        from ..ops.pallas.stencil import run_conv_chain, stencil_enabled
-        if (self.use_pallas and stencil_enabled()
-                and not self.is_initializing()
-                and jax.default_backend() == "tpu"
-                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
-            g1, gb1, g2, gb2 = gate(raw=True)
-            r1, r2, rscale = res(raw=True)
-            h = run_conv_chain(
-                x, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
-                        {"kind": "conv3", "wi": 1, "act": "gelu"}],
-                weights=[(w1, b1), (w2, b2)], k=2, out_channels=self.out2)
-            return run_conv_chain(
-                h,
-                ops=[{"kind": "save", "slot": 0},
-                     {"kind": "conv1", "wi": 0, "act": "gelu"},
-                     {"kind": "conv1", "wi": 1, "act": None},
-                     {"kind": "gate_saved", "slot": 0},
-                     {"kind": "save", "slot": 1},
-                     {"kind": "conv3", "wi": 2, "act": "gelu"},
-                     {"kind": "conv3", "wi": 3, "act": None},
-                     {"kind": "load_add", "slot": 1, "scale_wi": 4}],
-                weights=[(g1, gb1), (g2, gb2), (r1, None), (r2, None),
-                         (rscale, None)],
-                k=2, out_channels=self.out2)
 
         def conv(t, w_, b_):
             o = jax.lax.conv_general_dilated(
@@ -152,15 +125,6 @@ class HierarchicalFusion(nn.Module):
         wr1, br1 = _ConvParams((3, 3, bc // 2, bc // 4),
                                name="to_rgb_conv1")()
         wr2, br2 = _ConvParams((3, 3, bc // 4, 3), name="to_rgb_conv2")()
-        from ..ops.pallas.stencil import run_conv_chain, stencil_enabled
-        if (self.use_pallas and stencil_enabled()
-                and not self.is_initializing()
-                and jax.default_backend() == "tpu" and h % 2 == 0):
-            return run_conv_chain(
-                f3, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
-                         {"kind": "conv3", "wi": 1, "act": "sigmoid"}],
-                weights=[(wr1, br1), (wr2, br2)], k=2, out_channels=3)
-
         def conv(t, w_, b_):
             return jax.lax.conv_general_dilated(
                 t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],

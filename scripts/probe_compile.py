@@ -2,7 +2,7 @@
 """Per-kernel standalone compile+run timing at bench shapes.
 
 Usage: python scripts/probe_compile.py [kernel ...]
-Kernels: sgfn hab nafA nafB bandmha stencil_edge stencil_stage
+Kernels: sgfn hab nafA nafB bandmha
 Each prints {"kernel": ..., "compile_s": ..., "ms": ...}.
 """
 
@@ -111,38 +111,12 @@ def k_bandmha():
         jnp.zeros((d,)), jnp.ones((d,)), jnp.zeros((d,)), nh), x)
 
 
-def k_stencil(which):
-    from freqfusion_tpu.ops.pallas.stencil import run_conv_chain
-    rng = np.random.default_rng(0)
-    if which == "edge":
-        cin, co = 3, 32
-        x = jnp.asarray(rng.normal(size=(2, 768, 768, cin)), jnp.float32)
-        w1 = jnp.asarray(rng.normal(size=(3, 3, cin, co)), jnp.float32) * 0.1
-        w2 = jnp.asarray(rng.normal(size=(3, 3, co, co)), jnp.float32) * 0.1
-        return timeit(lambda a: run_conv_chain(
-            a, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
-                    {"kind": "conv3", "wi": 1, "act": "gelu"}],
-            weights=[(w1, jnp.zeros((co,))), (w2, jnp.zeros((co,)))],
-            k=2, out_channels=co), x)
-    cin, o1, o2 = 73, 64, 32
-    x = jnp.asarray(rng.normal(size=(2, 768, 768, cin)), jnp.float32)
-    w1 = jnp.asarray(rng.normal(size=(3, 3, cin, o1)), jnp.float32) * 0.1
-    w2 = jnp.asarray(rng.normal(size=(3, 3, o1, o2)), jnp.float32) * 0.1
-    return timeit(lambda a: run_conv_chain(
-        a, ops=[{"kind": "conv3", "wi": 0, "act": "gelu"},
-                {"kind": "conv3", "wi": 1, "act": "gelu"}],
-        weights=[(w1, jnp.zeros((o1,))), (w2, jnp.zeros((o2,)))],
-        k=2, out_channels=o2), x)
-
-
 KERNELS = {
     "sgfn": k_sgfn,
     "hab": k_hab,
     "nafA": lambda: k_naf("a"),
     "nafB": lambda: k_naf("b"),
     "bandmha": k_bandmha,
-    "stencil_edge": lambda: k_stencil("edge"),
-    "stencil_stage": lambda: k_stencil("stage"),
 }
 
 
