@@ -44,6 +44,11 @@ USE_PALLAS = os.environ.get("FREQFUSION_USE_PALLAS", "1") == "1"
 # FREQFUSION_WHOLE_IMAGE=0 benches the tiled fallback pipeline.
 WHOLE_IMAGE = os.environ.get("FREQFUSION_WHOLE_IMAGE", "1") == "1"
 LR_H, LR_W = 339, 510   # DIV2K ×4 LR size for a 2040×1356 HR image
+# FREQFUSION_BENCH_HETERO=1: stream 3 distinct shape buckets instead of one
+# image — measures the serving loop's real behavior on a ragged directory
+# (per-bucket programs, pipelining across shape changes). 3× the compiles.
+HETERO = os.environ.get("FREQFUSION_BENCH_HETERO", "0") == "1"
+HETERO_SIZES = ((339, 510), (300, 450), (270, 400))  # → 3 distinct buckets
 
 
 def main():
@@ -69,15 +74,14 @@ def main():
     model = FreqFusionSR(FusionConfig(use_pallas=USE_PALLAS),
                          hat_kwargs=kernels, dat_kwargs=kernels,
                          nafnet_kwargs=kernels)
+    from freqfusion_tpu.utils.runtime import fast_random_variables
+
     dummy = jnp.zeros((TILE_BATCH, TILE, TILE, 3), jnp.float32)
-    try:
-        host = jax.devices("cpu")[0]
-    except RuntimeError:
-        host = jax.devices()[0]
     stage("backends up")
-    with jax.default_device(host):
-        variables = model.init(jax.random.PRNGKey(0), dummy)
-    stage("host-side init")
+    # eval_shape + host-side random fill: weight values don't affect
+    # throughput, and the real model.init forward costs minutes of host CPU
+    variables = fast_random_variables(model, dummy)
+    stage("host-side init (shape-only)")
     if DTYPE == "bfloat16":
         variables = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
@@ -113,24 +117,32 @@ def main():
             return jnp.round(jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
         fwd_u8 = jax.jit(_fwd_u8)
-        ph = (-LR_H) % 16
-        pw = (-LR_W) % 16
-        lrp = np.pad(lr, [(0, ph), (0, pw), (0, 0)], mode="reflect")[None]
+        sizes = HETERO_SIZES if HETERO else ((LR_H, LR_W),)
+        lrps = []
+        for h_, w_ in sizes:
+            im = rng.uniform(size=(h_, w_, 3)).astype(np.float32)
+            lrps.append(np.pad(
+                im, [(0, (-h_) % 16), (0, (-w_) % 16), (0, 0)],
+                mode="reflect")[None])
 
-        def run_once():
-            return np.asarray(fwd_u8(variables, lrp))
+        def run_once():  # compiles every bucket's program
+            return [np.asarray(fwd_u8(variables, p)) for p in lrps]
 
         def run_stream(n):
-            pending = fwd_u8(variables, lrp)
+            # n cycles over the bucket list, pipelined across shape changes
+            seq = [lrps[i % len(lrps)] for i in range(n * len(lrps))]
+            pending = fwd_u8(variables, seq[0])
             outs = []
-            for _ in range(n - 1):
-                nxt = fwd_u8(variables, lrp)
+            for p in seq[1:]:
+                nxt = fwd_u8(variables, p)
                 outs.append(np.asarray(pending))
                 pending = nxt
             outs.append(np.asarray(pending))
             return outs
 
-        desc = "whole-image dispatch, uint8 payload, pipelined"
+        cycle_mp = sum(16 * h_ * w_ for h_, w_ in sizes) / 1e6
+        desc = ("whole-image dispatch, uint8 payload, pipelined" +
+                (f", {len(sizes)} shape buckets" if HETERO else ""))
     else:
         # compile + warmup of the tiled path
         _ = forward_batch(np.zeros((TILE_BATCH, TILE, TILE, 3), np.float32))
@@ -152,11 +164,14 @@ def main():
     runs = 4
     t0 = time.time()
     outs = run_stream(runs)
-    elapsed = (time.time() - t0) / runs
+    cycle_s = (time.time() - t0) / runs
     sr = outs[-1]
 
-    out_mp = (LR_H * 4) * (LR_W * 4) / 1e6
-    mps = out_mp / elapsed
+    if WHOLE_IMAGE:
+        out_mp, elapsed = cycle_mp, cycle_s / len(lrps)  # per-image avg
+    else:
+        out_mp, elapsed = (LR_H * 4) * (LR_W * 4) / 1e6, cycle_s
+    mps = out_mp / cycle_s
     vs = (mps * N_CHIPS_TARGET) / (TARGET_MULT * A100_EST_HR_MPS)
 
     print(json.dumps({

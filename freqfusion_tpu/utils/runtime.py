@@ -41,6 +41,42 @@ def enable_compilation_cache(cache_dir: str | None = None):
         pass
 
 
+def fast_random_variables(model, *example_args, seed: int = 0):
+    """Variables with init-free random values: `jax.eval_shape` the init
+    (no FLOPs, no device work) and fill leaves host-side.
+
+    For benchmarks and compile checks only — weight VALUES don't affect
+    throughput or compilation, and skipping the real `model.init` forward
+    saves minutes of host CPU on the full ensemble. 1-D scale-like leaves
+    get ones, biases zeros, everything else N(0, 0.02); batch_stats vars
+    get ones so BN stays finite.
+    """
+    import jax
+    import numpy as np
+
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(seed),
+                            *example_args)
+    rng = np.random.default_rng(seed)
+
+    def fill(path, leaf):
+        name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+        shape, dtype = leaf.shape, leaf.dtype
+        # multiplicative/variance-like leaves must be ~1 regardless of rank
+        # (a zero or negative BN running_var / temperature blows up the
+        # forward); means stay 0
+        if (name in ("scale", "gamma", "temperature") or name.endswith("var")
+                or name.endswith("_weight") or name.endswith("scale")):
+            return np.ones(shape, dtype)
+        if name.endswith("mean"):
+            return np.zeros(shape, dtype)
+        if len(shape) <= 1:
+            return np.ones(shape, dtype) if name == "weight" \
+                else np.zeros(shape, dtype)
+        return (rng.standard_normal(shape) * 0.02).astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
 def host_device():
     """The host CPU device if the CPU backend is registered, else the
     default device. Used for fast host-side `model.init` (avoids hundreds

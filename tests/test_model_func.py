@@ -96,3 +96,24 @@ def test_whole_image_cliff_warns():
         w.simplefilter("always")
         assert pipe._whole_image_plan(128, 128) is None
     assert any("shape cache full" in str(r.message) for r in rec)
+
+
+def test_fast_random_variables_finite():
+    """Shape-only random fill (bench/entry fast init) must produce a finite
+    forward — guards the name-based fill rules (BN running_var etc.)."""
+    import jax
+    import jax.numpy as jnp
+
+    from freqfusion_tpu.models.experts import FreqFusionSR
+    from freqfusion_tpu.utils.runtime import fast_random_variables
+
+    model = FreqFusionSR(
+        FusionConfig(fusion_dim=16, num_heads=2, refine_depth=2,
+                     refine_channels=8),
+        **{**TINY, "dat_kwargs": dict(embed_dim=32, depths=(2, 2),
+                                      num_heads=(2, 2), split_size=(2, 4),
+                                      expansion=2.0)})
+    d = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    v = fast_random_variables(model, d)
+    out = np.asarray(model.apply(v, d))
+    assert np.isfinite(out).all()
