@@ -49,6 +49,9 @@ LR_H, LR_W = 339, 510   # DIV2K ×4 LR size for a 2040×1356 HR image
 # (per-bucket programs, pipelining across shape changes). 3× the compiles.
 HETERO = os.environ.get("FREQFUSION_BENCH_HETERO", "0") == "1"
 HETERO_SIZES = ((339, 510), (300, 450), (270, 400))  # → 3 distinct buckets
+# images per whole-image dispatch (the serving loop batches same-bucket
+# images; >1 trades latency for occupancy/dispatch amortization)
+WHOLE_BATCH = int(os.environ.get("FREQFUSION_WHOLE_BATCH", "1"))
 
 
 def main():
@@ -121,9 +124,9 @@ def main():
         lrps = []
         for h_, w_ in sizes:
             im = rng.uniform(size=(h_, w_, 3)).astype(np.float32)
-            lrps.append(np.pad(
-                im, [(0, (-h_) % 16), (0, (-w_) % 16), (0, 0)],
-                mode="reflect")[None])
+            p = np.pad(im, [(0, (-h_) % 16), (0, (-w_) % 16), (0, 0)],
+                       mode="reflect")[None]
+            lrps.append(np.repeat(p, WHOLE_BATCH, axis=0))
 
         def run_once():  # compiles every bucket's program
             return [np.asarray(fwd_u8(variables, p)) for p in lrps]
@@ -140,8 +143,9 @@ def main():
             outs.append(np.asarray(pending))
             return outs
 
-        cycle_mp = sum(16 * h_ * w_ for h_, w_ in sizes) / 1e6
+        cycle_mp = WHOLE_BATCH * sum(16 * h_ * w_ for h_, w_ in sizes) / 1e6
         desc = ("whole-image dispatch, uint8 payload, pipelined" +
+                (f", batch {WHOLE_BATCH}" if WHOLE_BATCH > 1 else "") +
                 (f", {len(sizes)} shape buckets" if HETERO else ""))
     else:
         # compile + warmup of the tiled path
@@ -168,7 +172,8 @@ def main():
     sr = outs[-1]
 
     if WHOLE_IMAGE:
-        out_mp, elapsed = cycle_mp, cycle_s / len(lrps)  # per-image avg
+        out_mp = cycle_mp
+        elapsed = cycle_s / (len(lrps) * WHOLE_BATCH)  # per-image avg
     else:
         out_mp, elapsed = (LR_H * 4) * (LR_W * 4) / 1e6, cycle_s
     mps = out_mp / cycle_s

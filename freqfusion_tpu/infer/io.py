@@ -318,8 +318,11 @@ class InferencePipeline:
     @property
     def u8_group_max(self) -> int:
         """Images per whole-image dispatch: the mesh size (batch sharded
-        over ('data',)) or 1 on a single chip."""
-        return self.mesh.devices.size if self.mesh is not None else 1
+        over ('data',)), or FREQFUSION_U8_BATCH (default 1) on one chip —
+        batching same-bucket images trades latency for occupancy."""
+        if self.mesh is not None:
+            return self.mesh.devices.size
+        return max(1, int(os.environ.get("FREQFUSION_U8_BATCH", "1")))
 
     def dispatch_batch_u8(self, lrs, plan=None):
         """Async whole-image dispatch of a same-bucket image batch →
@@ -334,11 +337,11 @@ class InferencePipeline:
         lrp = np.stack([
             np.pad(a, [(0, hp - a.shape[0]), (0, wp - a.shape[1]), (0, 0)],
                    mode="reflect") for a in lrs])
+        q = self.u8_group_max
+        pad_b = (-len(lrs)) % q if q > 1 else 0
+        if pad_b:  # one program per bucket: ragged tails pad by repeat
+            lrp = np.concatenate([lrp, np.repeat(lrp[-1:], pad_b, axis=0)])
         if self.mesh is not None:
-            pad_b = (-len(lrs)) % self.mesh.devices.size
-            if pad_b:
-                lrp = np.concatenate(
-                    [lrp, np.repeat(lrp[-1:], pad_b, axis=0)])
             arr = jax.device_put(jnp.asarray(lrp), self._data_sh)
         else:
             arr = jnp.asarray(lrp)
