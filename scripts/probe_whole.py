@@ -24,14 +24,21 @@ from freqfusion_tpu.utils.runtime import (enable_compilation_cache,
 H, W = 352, 512
 
 
+def _fence(out):
+    # block_until_ready is a no-op on the remote backend — fence with a
+    # device→host scalar readback (PERF.md measurement methodology)
+    first = out[0] if isinstance(out, (tuple, list)) else out
+    float(jnp.sum(first.astype(jnp.float32)))
+
+
 def timeit(fn, v, x, n=6):
     t0 = time.time()
-    jax.block_until_ready(fn(v, x))
+    _fence(fn(v, x))
     compile_s = time.time() - t0
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(v, x))
+        _fence(fn(v, x))
         ts.append(time.perf_counter() - t0)
     return compile_s, float(np.median(ts) * 1000)
 
