@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Op-class timing vs geometry: which ops lose per-px efficiency at the
+whole-image shape (1,352,512) vs the fast tile shape (2,192,192)?
+
+Usage: PROBE_B=1 PROBE_H=352 PROBE_W=512 python scripts/probe_geometry.py \
+          [hab cab conv ocab roll]
+Prints one JSON line per op with ms_per_call and us_per_lr_px.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from freqfusion_tpu.utils.runtime import enable_compilation_cache
+
+B = int(os.environ.get("PROBE_B", "1"))
+H = int(os.environ.get("PROBE_H", "352"))
+W = int(os.environ.get("PROBE_W", "512"))
+C = 180
+REPS = 12  # stack distinct-weight copies so per-call overhead amortizes
+
+
+def fence(out):
+    first = out[0] if isinstance(out, (tuple, list)) else out
+    float(jnp.sum(first.astype(jnp.float32)))
+
+
+def timeit(fn, *args, n=5):
+    t0 = time.time()
+    fence(jax.jit(fn)(*args))
+    compile_s = time.time() - t0
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fence(jax.jit(fn)(*args))
+        ts.append(time.perf_counter() - t0)
+    return compile_s, float(np.median(ts) * 1000)
+
+
+def report(name, compile_s, ms):
+    px = B * H * W
+    print(json.dumps({
+        "op": name, "shape": [B, H, W, C], "reps": REPS,
+        "compile_s": round(compile_s, 1), "ms_per_call": round(ms, 1),
+        "us_per_lr_px_per_rep": round(ms * 1000 / px / REPS, 3)}),
+        flush=True)
+
+
+def main():
+    names = sys.argv[1:] or ["hab", "cab", "conv"]
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(B, H, W, C)), jnp.float32)
+
+    if "hab" in names:
+        from freqfusion_tpu.ops.pallas.wattn import fused_hab_block
+        nh, ws = 6, 16
+        n = ws * ws
+        weights = []
+        for r in range(REPS):
+            weights.append(dict(
+                wqkv=jnp.asarray(rng.normal(size=(C, 3 * C)), jnp.float32) * .05,
+                bqkv=jnp.zeros((3 * C,)),
+                wproj=jnp.asarray(rng.normal(size=(C, C)), jnp.float32) * .05,
+                bproj=jnp.zeros((C,)),
+                w1=jnp.asarray(rng.normal(size=(C, 2 * C)), jnp.float32) * .05,
+                b1=jnp.zeros((2 * C,)),
+                w2=jnp.asarray(rng.normal(size=(2 * C, C)), jnp.float32) * .05,
+                b2=jnp.zeros((C,)),
+                bias=jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32) * .1))
+
+        def habs(a):
+            for wd in weights:
+                a = fused_hab_block(
+                    a, a, jnp.ones((C,)), jnp.zeros((C,)), jnp.ones((C,)),
+                    jnp.zeros((C,)), wd["wqkv"], wd["bqkv"], wd["wproj"],
+                    wd["bproj"], wd["w1"], wd["b1"], wd["w2"], wd["b2"],
+                    wd["bias"], None, (ws, ws), nh, 0.01)
+            return a
+        report("hab", *timeit(habs, x))
+
+    if "cab" in names:
+        ws_ = [(jnp.asarray(rng.normal(size=(3, 3, C, 60)), jnp.float32) * .05,
+                jnp.asarray(rng.normal(size=(3, 3, 60, C)), jnp.float32) * .05)
+               for _ in range(REPS)]
+
+        def cabs(a):
+            for w1, w2 in ws_:
+                h = jax.lax.conv_general_dilated(
+                    a, w1, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                h = jax.nn.gelu(h)
+                a = a + 0.01 * jax.lax.conv_general_dilated(
+                    h, w2, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return a
+        report("cab", *timeit(cabs, x))
+
+    if "conv" in names:
+        ws_ = [jnp.asarray(rng.normal(size=(3, 3, C, C)), jnp.float32) * .05
+               for _ in range(REPS)]
+
+        def convs(a):
+            for w_ in ws_:
+                a = jax.lax.conv_general_dilated(
+                    a, w_, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return a
+        report("conv", *timeit(convs, x))
+
+    if "ocab" in names:
+        from freqfusion_tpu.ops.pallas.wattn import fused_ocab_attention
+        nh, ws = 6, 16
+        ovr = 0.5
+        wso = int(ws * (1 + ovr))
+        weights = []
+        for r in range(REPS):
+            weights.append(dict(
+                wqkv=jnp.asarray(rng.normal(size=(C, 3 * C)), jnp.float32) * .05,
+                wproj=jnp.asarray(rng.normal(size=(C, C)), jnp.float32) * .05,
+                bproj=jnp.zeros((C,)),
+                bias=jnp.asarray(rng.normal(size=(nh, ws * ws, wso * wso)),
+                                 jnp.float32) * .1))
+
+        def ocabs(a):
+            for wd in weights:
+                a = fused_ocab_attention(a, wd["wqkv"], wd["wproj"],
+                                         wd["bproj"], wd["bias"], ws, ovr, nh)
+            return a
+        report("ocab", *timeit(ocabs, x))
+
+
+if __name__ == "__main__":
+    main()

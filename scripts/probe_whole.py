@@ -21,7 +21,10 @@ sys.path.insert(0, ".")
 from freqfusion_tpu.utils.runtime import (enable_compilation_cache,
                                           fast_random_variables)
 
-H, W = 352, 512
+import os
+B = int(os.environ.get("PROBE_B", "1"))
+H = int(os.environ.get("PROBE_H", "352"))
+W = int(os.environ.get("PROBE_W", "512"))
 
 
 def _fence(out):
@@ -51,9 +54,9 @@ def main():
             dtype = jnp.dtype(a.split("=")[1])
     names = names or ["hat", "dat", "nafnet", "full"]
     enable_compilation_cache()
-    use_pallas = True
+    use_pallas = "--pallas=0" not in sys.argv
 
-    x = jnp.asarray(np.random.default_rng(0).uniform(size=(1, H, W, 3)),
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(B, H, W, 3)),
                     dtype)
     for name in names:
         if name == "hat":
@@ -80,7 +83,7 @@ def main():
             jax.devices()[0])
         fn = jax.jit(lambda vv, xx, m=model: m.apply(vv, xx))
         compile_s, ms = timeit(fn, v, x)
-        print(json.dumps({"component": name, "shape": [1, H, W, 3],
+        print(json.dumps({"component": name, "shape": [B, H, W, 3],
                           "dtype": str(np.dtype(dtype)),
                           "compile_s": round(compile_s, 1),
                           "ms_per_call": round(ms, 1)}), flush=True)
