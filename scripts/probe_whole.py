@@ -81,7 +81,16 @@ def main():
             lambda a: a.astype(dtype)
             if hasattr(a, "dtype") and a.dtype == np.float32 else a, v),
             jax.devices()[0])
-        fn = jax.jit(lambda vv, xx, m=model: m.apply(vv, xx))
+        if os.environ.get("PROBE_SUM") == "1":
+            # in-jit scalar reduction (bench_hat_full methodology): outputs
+            # never materialize in HBM; float() on the result fences
+            def fn(vv, xx, m=model):
+                out = m.apply(vv, xx)
+                leaves = jax.tree_util.tree_leaves(out)
+                return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+        else:
+            fn = jax.jit(lambda vv, xx, m=model: m.apply(vv, xx))
+        fn = jax.jit(fn)
         compile_s, ms = timeit(fn, v, x)
         print(json.dumps({"component": name, "shape": [B, H, W, 3],
                           "dtype": str(np.dtype(dtype)),

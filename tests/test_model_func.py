@@ -117,3 +117,21 @@ def test_fast_random_variables_finite():
     v = fast_random_variables(model, d)
     out = np.asarray(model.apply(v, d))
     assert np.isfinite(out).all()
+
+
+def test_single_chip_u8_batch_pads_ragged(monkeypatch):
+    """FREQFUSION_U8_BATCH>1 on one chip: ragged batches pad by repeat so
+    only one program per bucket compiles; outputs unchanged."""
+    monkeypatch.setenv("FREQFUSION_U8_BATCH", "2")
+    pipe = InferencePipeline(
+        model_dir="", tile=16, overlap=4, tile_batch=1,
+        fusion_config=FusionConfig(fusion_dim=16, num_heads=2, refine_depth=2,
+                                   refine_channels=8),
+        expert_kwargs=TINY, n_devices=1)
+    assert pipe.u8_group_max == 2
+    rng = np.random.default_rng(2)
+    lr = rng.uniform(size=(40, 56, 3)).astype(np.float32)
+    outs = pipe.materialize_u8(pipe.dispatch_batch_u8([lr]))
+    assert len(outs) == 1 and outs[0].shape == (160, 224, 3)
+    ref = np.round(np.clip(pipe.run_image(lr), 0.0, 1.0) * 255.0)
+    assert np.abs(ref - outs[0].astype(np.float64)).max() <= 1.0
