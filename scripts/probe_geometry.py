@@ -25,6 +25,7 @@ B = int(os.environ.get("PROBE_B", "1"))
 H = int(os.environ.get("PROBE_H", "352"))
 W = int(os.environ.get("PROBE_W", "512"))
 C = 180
+DT = os.environ.get("PROBE_DT", "float32")
 REPS = 12  # stack distinct-weight copies so per-call overhead amortizes
 
 
@@ -48,7 +49,7 @@ def timeit(fn, *args, n=5):
 def report(name, compile_s, ms):
     px = B * H * W
     print(json.dumps({
-        "op": name, "shape": [B, H, W, C], "reps": REPS,
+        "op": name, "dt": DT, "shape": [B, H, W, C], "reps": REPS,
         "compile_s": round(compile_s, 1), "ms_per_call": round(ms, 1),
         "us_per_lr_px_per_rep": round(ms * 1000 / px / REPS, 3)}),
         flush=True)
@@ -58,7 +59,8 @@ def main():
     names = sys.argv[1:] or ["hab", "cab", "conv"]
     enable_compilation_cache()
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(size=(B, H, W, C)), jnp.float32)
+    dt = jnp.dtype(DT)
+    x = jnp.asarray(rng.uniform(size=(B, H, W, C)), dt)
 
     if "hab" in names:
         from freqfusion_tpu.ops.pallas.wattn import fused_hab_block
@@ -67,29 +69,29 @@ def main():
         weights = []
         for r in range(REPS):
             weights.append(dict(
-                wqkv=jnp.asarray(rng.normal(size=(C, 3 * C)), jnp.float32) * .05,
-                bqkv=jnp.zeros((3 * C,)),
-                wproj=jnp.asarray(rng.normal(size=(C, C)), jnp.float32) * .05,
-                bproj=jnp.zeros((C,)),
-                w1=jnp.asarray(rng.normal(size=(C, 2 * C)), jnp.float32) * .05,
-                b1=jnp.zeros((2 * C,)),
-                w2=jnp.asarray(rng.normal(size=(2 * C, C)), jnp.float32) * .05,
-                b2=jnp.zeros((C,)),
-                bias=jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32) * .1))
+                wqkv=jnp.asarray(rng.normal(size=(C, 3 * C)), dt) * jnp.asarray(.05, dt),
+                bqkv=jnp.zeros((3 * C,), dt),
+                wproj=jnp.asarray(rng.normal(size=(C, C)), dt) * jnp.asarray(.05, dt),
+                bproj=jnp.zeros((C,), dt),
+                w1=jnp.asarray(rng.normal(size=(C, 2 * C)), dt) * jnp.asarray(.05, dt),
+                b1=jnp.zeros((2 * C,), dt),
+                w2=jnp.asarray(rng.normal(size=(2 * C, C)), dt) * jnp.asarray(.05, dt),
+                b2=jnp.zeros((C,), dt),
+                bias=jnp.asarray(rng.normal(size=(nh, n, n)), dt) * jnp.asarray(.1, dt)))
 
         def habs(a):
             for wd in weights:
                 a = fused_hab_block(
-                    a, a, jnp.ones((C,)), jnp.zeros((C,)), jnp.ones((C,)),
-                    jnp.zeros((C,)), wd["wqkv"], wd["bqkv"], wd["wproj"],
+                    a, a, jnp.ones((C,), dt), jnp.zeros((C,), dt), jnp.ones((C,), dt),
+                    jnp.zeros((C,), dt), wd["wqkv"], wd["bqkv"], wd["wproj"],
                     wd["bproj"], wd["w1"], wd["b1"], wd["w2"], wd["b2"],
                     wd["bias"], None, (ws, ws), nh, 0.01)
             return a
         report("hab", *timeit(habs, x))
 
     if "cab" in names:
-        ws_ = [(jnp.asarray(rng.normal(size=(3, 3, C, 60)), jnp.float32) * .05,
-                jnp.asarray(rng.normal(size=(3, 3, 60, C)), jnp.float32) * .05)
+        ws_ = [(jnp.asarray(rng.normal(size=(3, 3, C, 60)), dt) * jnp.asarray(.05, dt),
+                jnp.asarray(rng.normal(size=(3, 3, 60, C)), dt) * jnp.asarray(.05, dt))
                for _ in range(REPS)]
 
         def cabs(a):
@@ -105,7 +107,7 @@ def main():
         report("cab", *timeit(cabs, x))
 
     if "conv" in names:
-        ws_ = [jnp.asarray(rng.normal(size=(3, 3, C, C)), jnp.float32) * .05
+        ws_ = [jnp.asarray(rng.normal(size=(3, 3, C, C)), dt) * jnp.asarray(.05, dt)
                for _ in range(REPS)]
 
         def convs(a):
@@ -124,11 +126,11 @@ def main():
         weights = []
         for r in range(REPS):
             weights.append(dict(
-                wqkv=jnp.asarray(rng.normal(size=(C, 3 * C)), jnp.float32) * .05,
-                wproj=jnp.asarray(rng.normal(size=(C, C)), jnp.float32) * .05,
-                bproj=jnp.zeros((C,)),
+                wqkv=jnp.asarray(rng.normal(size=(C, 3 * C)), dt) * jnp.asarray(.05, dt),
+                wproj=jnp.asarray(rng.normal(size=(C, C)), dt) * jnp.asarray(.05, dt),
+                bproj=jnp.zeros((C,), dt),
                 bias=jnp.asarray(rng.normal(size=(nh, ws * ws, wso * wso)),
-                                 jnp.float32) * .1))
+                                 dt) * jnp.asarray(.1, dt)))
 
         def ocabs(a):
             for wd in weights:
