@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .nafblock import _pick_bh
-from .wattn import MOSAIC_PARAMS, _gelu_exact
+from .wattn import MOSAIC_PARAMS, _gelu_exact, _mxu_dtype
 
 
 def _kernel_a(x_ref, xt_ref, xb_ref, wdw_ref, bdw_ref, bns_ref, bnb_ref,
@@ -129,9 +129,9 @@ def aim_conv_branch(v, wdw, bdw, bn_scale, bn_shift,
 
 def _kernel_b(att_ref, cx_ref, chvec_ref, si_w1_ref, si_b1_ref,
               si_bns_ref, si_bnb_ref, si_w2_ref, si_b2_ref,
-              proj_ref, pbias_ref, o_ref, *, swap: bool):
+              proj_ref, pbias_ref, o_ref, *, swap: bool, mdt):
     c = att_ref.shape[3]
-    dt = att_ref.dtype
+    dt = mdt                     # MXU operand dtype (wattn._mxu_dtype)
     att = att_ref[0].astype(jnp.float32)
     cx = cx_ref[0].astype(jnp.float32)
     sh = att.shape
@@ -160,12 +160,15 @@ def _kernel_b(att_ref, cx_ref, chvec_ref, si_w1_ref, si_b1_ref,
 
 def aim_gates_proj(attened, conv_x, chmap_vec, si_w1, si_b1, si_bn_scale,
                    si_bn_shift, si_w2, si_b2, proj_w, proj_b,
-                   swap: bool = False, interpret: bool = False):
+                   swap: bool = False, interpret: bool = False,
+                   mxu_dtype=None):
     """Pointwise AIM tail: spatial-map chain + both gates + output proj.
 
     chmap_vec: [B,1,1,C] pre-sigmoid C-Map; swap selects the channel-block
     wiring (S-Map from conv_x / C-Map gates conv_x)."""
     b, h, w, c = attened.shape
+    mdt = _mxu_dtype(attened.dtype, interpret, mxu_dtype)
+    si_w1, si_w2, proj_w = (t.astype(mdt) for t in (si_w1, si_w2, proj_w))
     mid = si_w1.shape[-1]
     bh = _pick_bh(h, w, (c, c, c, mid, c))
     grid = (b, h // bh)
@@ -186,7 +189,7 @@ def aim_gates_proj(attened, conv_x, chmap_vec, si_w1, si_b1, si_bn_scale,
         pl.BlockSpec((c, c), const(0, 0), memory_space=pltpu.VMEM),
         vec(c),
     ]
-    kernel = functools.partial(_kernel_b, swap=swap)
+    kernel = functools.partial(_kernel_b, swap=swap, mdt=mdt)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .wattn import MOSAIC_PARAMS, _ln
+from .wattn import MOSAIC_PARAMS, _ln, _mxu_dtype
 
 
 def _masks(t: int, d: int, nh: int):
@@ -56,9 +56,9 @@ def _masks(t: int, d: int, nh: int):
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             lnw_ref, lnb_ref, m_ref, r_ref, z_ref, o_ref,
-            *, t: int, d: int, nh: int):
+            *, t: int, d: int, nh: int, mdt):
     rows = x_ref.shape[1] * x_ref.shape[2]
-    dt = x_ref.dtype
+    dt = mdt                     # MXU operand dtype (wattn._mxu_dtype)
     hd = d // nh
     scale = np.float32(hd ** -0.5)
 
@@ -79,7 +79,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     outs = []
     for g in range(t):
         q_rep = jnp.concatenate([qs[g]] * t, axis=-1)  # tile over bands
-        s = jnp.dot((q_rep * scale) * k_cat, m_ref[:],
+        s = jnp.dot(((q_rep * scale) * k_cat).astype(dt), m_ref[:],
                     preferred_element_type=jnp.float32)  # [rows, T·nh]
         mx = jnp.max(s, axis=-1, keepdims=True)  # rowwise const: exact
         e = jnp.exp(s - mx)
@@ -97,10 +97,13 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 
 
 def fused_band_mha(stacked, wqkv, bqkv, wproj, bproj, ln_w, ln_b,
-                   num_heads: int, interpret: bool = False):
+                   num_heads: int, interpret: bool = False,
+                   mxu_dtype=None):
     """stacked [B,H,W,T,D] → LN → per-pixel T-token MHA → +residual,
     same shape. Weights are TorchMHA's packed in_proj ([D,3D]) / out_proj."""
     b, h, w, t, d = stacked.shape
+    mdt = _mxu_dtype(stacked.dtype, interpret, mxu_dtype)
+    wqkv, wproj = wqkv.astype(mdt), wproj.astype(mdt)
     x = stacked.reshape(b, h, w, t * d)
     m, r, z = _masks(t, d, num_heads)
 
@@ -130,7 +133,7 @@ def fused_band_mha(stacked, wqkv, bqkv, wproj, bproj, ln_w, ln_b,
         pl.BlockSpec((t * num_heads, t * num_heads), const(0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    kernel = functools.partial(_kernel, t=t, d=d, nh=num_heads)
+    kernel = functools.partial(_kernel, t=t, d=d, nh=num_heads, mdt=mdt)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -145,5 +148,6 @@ def fused_band_mha(stacked, wqkv, bqkv, wproj, bproj, ln_w, ln_b,
         interpret=interpret,
     )(x, wqkv, f32(bqkv).reshape(1, -1), wproj, f32(bproj).reshape(1, -1),
       f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),
-      jnp.asarray(m), jnp.asarray(r), jnp.asarray(z))
+      # 0/1 group masks are bf16-exact → travel in the MXU operand dtype
+      jnp.asarray(m, mdt), jnp.asarray(r, mdt), jnp.asarray(z, mdt))
     return out.reshape(stacked.shape)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .wattn import MOSAIC_PARAMS
+from .wattn import MOSAIC_PARAMS, _mxu_dtype
 
 K = 21
 PAD_L = K // 2          # 10, for the two large 1-D convs
@@ -43,7 +43,7 @@ HALO = PAD_L + PAD_S    # 12
 
 
 def _kernel(x_hbm, w5_ref, wh_ref, wv_ref, wp_ref, ab_ref, out_ref,
-            *, bh: int, w: int, c: int, h_true: int):
+            *, bh: int, w: int, c: int, h_true: int, mdt):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     hin = bh + 2 * HALO
@@ -84,7 +84,8 @@ def _kernel(x_hbm, w5_ref, wh_ref, wv_ref, wp_ref, ab_ref, out_ref,
             acc3 += acc2[dy:dy + bh, :, :] * wv_ref[dy, :]
 
         # 1×1 pointwise on the MXU + folded BN + sigmoid gate
-        mixed = jnp.dot(acc3.reshape(bh * w, c), wp_ref[...],
+        # (operands in the MXU dtype — wattn._mxu_dtype)
+        mixed = jnp.dot(acc3.reshape(bh * w, c).astype(mdt), wp_ref[...],
                         preferred_element_type=jnp.float32)
         gate = jax.nn.sigmoid(mixed * ab_ref[0, :] + ab_ref[1, :])
         center = x[HALO:HALO + bh, HALO:HALO + w, :].reshape(bh * w, c)
@@ -130,7 +131,9 @@ def lka_gate(x, w5, wh, wv, wp, scale, shift, block_h: int = 0,
     n_blocks = (h + ph) // block_h
     ab = jnp.stack([scale, shift]).astype(jnp.float32)  # [2, C]
 
-    kernel = functools.partial(_kernel, bh=block_h, w=w, c=c, h_true=h)
+    mdt = _mxu_dtype(jnp.float32, interpret)
+    kernel = functools.partial(_kernel, bh=block_h, w=w, c=c, h_true=h,
+                               mdt=mdt)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_blocks),
@@ -153,7 +156,7 @@ def lka_gate(x, w5, wh, wv, wp, scale, shift, block_h: int = 0,
         compiler_params=MOSAIC_PARAMS,
         interpret=interpret,
     )(xp, w5.astype(jnp.float32), wh.astype(jnp.float32),
-      wv.astype(jnp.float32), wp.astype(jnp.float32), ab)
+      wv.astype(jnp.float32), wp.astype(mdt), ab)
     return out[:, :h]
 
 

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .wattn import MOSAIC_PARAMS
+from .wattn import MOSAIC_PARAMS, _mxu_dtype
 
 
 def _ln2d(x, w, b, eps=1e-6):
@@ -43,13 +43,14 @@ def _ln2d(x, w, b, eps=1e-6):
 
 
 def _kernel_a(x_ref, xt_ref, xb_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
-              wdw_ref, bdw_ref, g_ref, sum_ref, *, bh: int, nblocks: int):
+              wdw_ref, bdw_ref, g_ref, sum_ref, *, bh: int, nblocks: int,
+              mdt):
     i = pl.program_id(1)
     wp = x_ref.shape[2]          # W + 2 (inputs are W-padded by the caller)
     w = wp - 2
     c = x_ref.shape[3]
     dw = w1_ref.shape[1]
-    dt = x_ref.dtype
+    dt = mdt                     # MXU operand dtype (wattn._mxu_dtype)
 
     # assemble rows [-1 .. bh]; halo rows/cols are zeroed AFTER conv1 —
     # SAME padding zeros the depthwise conv's *input* t, and LN(0)+bias ≠ 0.
@@ -96,11 +97,11 @@ def _kernel_a(x_ref, xt_ref, xb_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
 
 def _kernel_b(g_ref, x_ref, att_ref, w3_ref, b3_ref, beta_ref,
               ln2w_ref, ln2b_ref, w4_ref, b4_ref, w5_ref, b5_ref,
-              gamma_ref, o_ref):
+              gamma_ref, o_ref, *, mdt):
     w = g_ref.shape[2]
     c = g_ref.shape[3]
     dw = w4_ref.shape[1]
-    dt = g_ref.dtype
+    dt = mdt                     # MXU operand dtype (wattn._mxu_dtype)
 
     gm = (g_ref[0].astype(jnp.float32) * att_ref[0, 0]).astype(dt)
     x3 = jnp.dot(gm.reshape(-1, c), w3_ref[:],
@@ -142,13 +143,15 @@ def _pick_bh(h: int, w: int, chans, budget_bytes: int = 8_000_000) -> int:
 
 
 def naf_block_stage_a(x, ln_w, ln_b, w1, b1, wdw, bdw,
-                      interpret: bool = False):
+                      interpret: bool = False, mxu_dtype=None):
     """x [B,H,W,C] → (g [B,H,W,C], sums [B,1,1,C]).
 
     wdw is the depthwise 3×3 HWIO kernel (3,3,1,2C) from nn.Conv; it is
     re-packed to (9, 2C) rows for in-kernel broadcasting.
     """
     b, h, w, c = x.shape
+    mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
+    w1 = w1.astype(mdt)
     dw = w1.shape[-1]
     # strips hold xa + its LN copy [2c] + t [dw] + iota masks + acc [3·dw]
     bh = _pick_bh(h, w + 2, (c, c, dw, dw, dw, dw))
@@ -183,7 +186,7 @@ def naf_block_stage_a(x, ln_w, ln_b, w1, b1, wdw, bdw,
         pl.BlockSpec((1, 1, 1, c), lambda bi, i: (bi, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    kernel = functools.partial(_kernel_a, bh=bh, nblocks=nb)
+    kernel = functools.partial(_kernel_a, bh=bh, nblocks=nb, mdt=mdt)
     g, sums = pl.pallas_call(
         kernel,
         grid=grid,
@@ -204,9 +207,12 @@ def naf_block_stage_a(x, ln_w, ln_b, w1, b1, wdw, bdw,
 
 
 def naf_block_stage_b(g, x, att, w3, b3, beta, ln2_w, ln2_b, w4, b4,
-                      w5, b5, gamma, interpret: bool = False):
+                      w5, b5, gamma, interpret: bool = False,
+                      mxu_dtype=None):
     """Pointwise second half: returns the NAFBlock output [B,H,W,C]."""
     b, h, w, c = g.shape
+    mdt = _mxu_dtype(g.dtype, interpret, mxu_dtype)
+    w3, w4, w5 = (t.astype(mdt) for t in (w3, w4, w5))
     dw = w4.shape[-1]
     bh = _pick_bh(h, w, (c, c, dw, c))
     grid = (b, h // bh)
@@ -228,7 +234,7 @@ def naf_block_stage_b(g, x, att, w3, b3, beta, ln2_w, ln2_b, w4, b4,
         vec(c), vec(c),
     ]
     return pl.pallas_call(
-        _kernel_b,
+        functools.partial(_kernel_b, mdt=mdt),
         grid=grid,
         in_specs=in_specs,
         out_specs=img,
@@ -246,7 +252,8 @@ def naf_block_stage_b(g, x, att, w3, b3, beta, ln2_w, ln2_b, w4, b4,
       f32(gamma).reshape(1, -1))
 
 
-def fused_naf_block(x, params, sca_w, sca_b, interpret: bool = False):
+def fused_naf_block(x, params, sca_w, sca_b, interpret: bool = False,
+                    mxu_dtype=None):
     """Full fused NAFBlock: params is a dict with ln1_w/ln1_b, w1/b1 (1×1
     C→2C), wdw/bdw (3×3 depthwise), w3/b3 (1×1 C→C), beta, ln2_w/ln2_b,
     w4/b4 (1×1 C→2C), w5/b5 (1×1 C→C), gamma. The SCA 1×1 on the pooled
@@ -254,11 +261,13 @@ def fused_naf_block(x, params, sca_w, sca_b, interpret: bool = False):
     b, h, w, c = x.shape
     g, sums = naf_block_stage_a(
         x, params["ln1_w"], params["ln1_b"], params["w1"], params["b1"],
-        params["wdw"], params["bdw"], interpret=interpret)
+        params["wdw"], params["bdw"], interpret=interpret,
+        mxu_dtype=mxu_dtype)
     mean = sums / np.float32(h * w)
     att = (jnp.einsum("bijc,cd->bijd", mean, sca_w.reshape(c, c))
            + sca_b).astype(x.dtype)
     return naf_block_stage_b(
         g, x, att, params["w3"], params["b3"], params["beta"],
         params["ln2_w"], params["ln2_b"], params["w4"], params["b4"],
-        params["w5"], params["b5"], params["gamma"], interpret=interpret)
+        params["w5"], params["b5"], params["gamma"], interpret=interpret,
+        mxu_dtype=mxu_dtype)

@@ -22,20 +22,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .wattn import MOSAIC_PARAMS, _gelu_exact, _ln
+from .wattn import MOSAIC_PARAMS, _gelu_exact, _ln, _mxu_dtype
 
 
 def _kernel(a_ref, x_ref, at_ref, xt_ref, ab_ref, xb_ref,
             lnw_ref, lnb_ref, w1_ref, b1_ref, sgw_ref, sgb_ref,
             wdw_ref, bdw_ref, w2_ref, b2_ref, o_ref,
-            *, bh: int, nblocks: int):
+            *, bh: int, nblocks: int, mdt):
     i = pl.program_id(1)
     wp = a_ref.shape[2]          # W + 2 (inputs are W-padded by the caller)
     w = wp - 2
     c = a_ref.shape[3]
     hid = w1_ref.shape[1]
     half = hid // 2
-    dt = a_ref.dtype
+    dt = mdt                     # MXU operand dtype (wattn._mxu_dtype)
 
     # row assembly concatenates along the outer dim only (sublane/lane-dim
     # concats miscompile on this Mosaic build at sub-128 lane widths)
@@ -80,12 +80,15 @@ def _kernel(a_ref, x_ref, at_ref, xt_ref, ab_ref, xb_ref,
 
 
 def fused_sgfn_tail(a, shortcut, ln_w, ln_b, w1, b1, sg_w, sg_b,
-                    wdw, bdw, w2, b2, interpret: bool = False):
+                    wdw, bdw, w2, b2, interpret: bool = False,
+                    mxu_dtype=None):
     """y = a + shortcut; returns y + SGFN(LN(y)) over [B,H,W,C] images.
 
     wdw is the depthwise (3,3,1,hidden/2) HWIO kernel from nn.Conv.
     """
     b, h, w, c = a.shape
+    mdt = _mxu_dtype(a.dtype, interpret, mxu_dtype)
+    w1, w2 = w1.astype(mdt), w2.astype(mdt)
     hid = w1.shape[-1]
     half = hid // 2
     ap = jnp.pad(a, [(0, 0), (0, 0), (1, 1), (0, 0)])
@@ -123,7 +126,7 @@ def fused_sgfn_tail(a, shortcut, ln_w, ln_b, w1, b1, sg_w, sg_b,
         pl.BlockSpec((half, c), const(0, 0), memory_space=pltpu.VMEM),
         vec(c),
     ]
-    kernel = functools.partial(_kernel, bh=bh, nblocks=nb)
+    kernel = functools.partial(_kernel, bh=bh, nblocks=nb, mdt=mdt)
     return pl.pallas_call(
         kernel,
         grid=grid,

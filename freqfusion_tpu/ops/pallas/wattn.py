@@ -20,8 +20,14 @@ grid. `_align_heads` re-packs the qkv output columns / proj input rows into
 to QKᵀ or PV, so the math is bit-identical) giving 32-aligned in-kernel lane
 slices without touching stored checkpoints.
 
-MXU ops run in the input dtype with f32 accumulation (bf16-native under the
-production bf16 bench mode); softmax and bias/mask adds stay f32.
+MXU precision: Mosaic lowers an f32 jnp.dot as a ~3× multi-pass expansion,
+while XLA's DEFAULT precision truncates f32 matmul operands to one bf16 MXU
+pass (measured: fused HAB 3.1→≤0.4 ms at [1,352,512,180] —
+scripts/probe_habparts.py). To match XLA's precision class AND its speed,
+kernels cast matmul operands to bf16 (`_mxu_dtype`) and accumulate f32; the
+residual stream, LayerNorms, softmax and bias/mask adds stay f32. Interpret
+mode (CPU parity tests) keeps full input-dtype operands; set
+FREQFUSION_MXU_F32=1 to force multi-pass f32 matmuls on TPU.
 
 Replaces the reference's window attention inner loops
 (/root/reference/src/models/hat/hat_arch.py:129-196,
@@ -43,6 +49,22 @@ from jax.experimental.pallas import tpu as pltpu
 #: v5e has 128 MiB of VMEM per core; Mosaic's default 16 MiB scoped-stack
 #: ceiling rejects several of our strip kernels at wide shapes.
 MOSAIC_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _mxu_dtype(in_dtype, interpret: bool, override=None):
+    """Matmul *operand* dtype for a kernel (accumulation is always f32).
+
+    Default bf16 on TPU — the same single-pass truncation XLA's DEFAULT
+    precision applies to f32 matmuls, ~3× faster than Mosaic's multi-pass
+    f32 lowering. Interpret mode keeps the input dtype so CPU parity tests
+    see true-f32 math (mirroring XLA on CPU). `override` pins it explicitly
+    (tests); FREQFUSION_MXU_F32=1 forces f32 operands on TPU."""
+    if override is not None:
+        return jnp.dtype(override)
+    import os
+    if interpret or os.environ.get("FREQFUSION_MXU_F32", "0") == "1":
+        return jnp.dtype(in_dtype)
+    return jnp.dtype(jnp.bfloat16)
 
 
 def _pick_gh(n_win_rows: int, max_gh: int = 4) -> int:
@@ -111,7 +133,7 @@ def _align_heads(wqkv, bqkv, wproj, num_heads, hd, hdp):
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
             *rest, wsh: int, wsw: int, num_heads: int, head_dim: int,
-            gh: int, has_mask: bool):
+            gh: int, has_mask: bool, mdt):
     if has_mask:
         mask_ref, o_ref = rest
     else:
@@ -120,9 +142,10 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     c = x_ref.shape[-1]
     cp = wproj_ref.shape[0]          # padded attention width (nh·hdp)
     hdp = cp // num_heads
-    dt = x_ref.dtype
+    dt = mdt                         # MXU operand dtype (_mxu_dtype)
     xb = x_ref[0].reshape(gh * n, c)
-    qkv = jnp.dot(xb, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = jnp.dot(xb.astype(dt), wqkv_ref[:],
+                  preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[0]).astype(dt)
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
@@ -179,7 +202,7 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 bias_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref, *rest, wsh: int, wsw: int,
                 num_heads: int, head_dim: int, gh: int, has_mask: bool,
-                has_ca: bool, conv_scale: float):
+                has_ca: bool, conv_scale: float, mdt):
     """Whole HAB minus the CAB convs: LN1 → W-MSA (+proj) → residual combine
     with the precomputed CAB branch → LN2 → MLP → residual, one HBM read of
     (x, conv_x) and one write. See HAB in models/hat.py for the XLA chain."""
@@ -193,7 +216,7 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     c = x_ref.shape[-1]
     cp = wproj_ref.shape[0]
     hdp = cp // num_heads
-    dt = x_ref.dtype
+    dt = mdt                         # MXU operand dtype (_mxu_dtype)
     xb = x_ref[0].reshape(gh * n, c)
     ln1 = _ln(xb, ln1w_ref[0], ln1b_ref[0]).astype(dt)
     qkv = jnp.dot(ln1, wqkv_ref[:], preferred_element_type=jnp.float32)
@@ -247,6 +270,7 @@ def fused_hab_block(
     cab_scale=None,                 # [B,1,1,C] CA gate applied to conv_x
     max_gh: int = 4,
     interpret: bool = False,
+    mxu_dtype=None,
 ) -> jnp.ndarray:
     """One fused HAB pass (everything except the CAB convs): returns
     x + attn(LN1(x)) + conv_scale·conv_x + MLP(LN2(·)).
@@ -262,11 +286,15 @@ def fused_hab_block(
     hd = c // num_heads
     n_wr, n_wc = h // wsh, w // wsw
     gh = _pick_gh(n_wr, max_gh)
+    mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
 
     align = 32
     hdp = -(-hd // align) * align
     if hdp != hd:
         wqkv, bqkv, wproj = _align_heads(wqkv, bqkv, wproj, num_heads, hd, hdp)
+    # matmul RHS weights travel in the MXU operand dtype (halves their
+    # VMEM residency too); biases/LN affines stay f32
+    wqkv, wproj, w1, w2 = (t.astype(mdt) for t in (wqkv, wproj, w1, w2))
     cp = num_heads * hdp
     hidden = w1.shape[1]
 
@@ -314,7 +342,7 @@ def fused_hab_block(
     kernel = functools.partial(
         _kernel_hab, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
         gh=gh, has_mask=has_mask, has_ca=has_ca,
-        conv_scale=float(conv_scale))
+        conv_scale=float(conv_scale), mdt=mdt)
     flops_per = (2 * gh * n * c * (4 * cp + 2 * hidden)
                  + 2 * gh * num_heads * n * n * hdp * 2)
     return pl.pallas_call(
@@ -334,14 +362,14 @@ def fused_hab_block(
 
 
 def _kernel_res_mlp(a_ref, s_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
-                    w2_ref, b2_ref, o_ref):
+                    w2_ref, b2_ref, o_ref, *, mdt):
     """y = a + s; out = y + MLP(LN(y)) — the transformer-block tail shared by
     OCAB (models/hat.py) and similar residual+FFN epilogues."""
     sh = a_ref.shape
     c = sh[-1]
     y = (a_ref[0].astype(jnp.float32) + s_ref[0].astype(jnp.float32))
     y2 = y.reshape(-1, c)
-    dt = a_ref.dtype
+    dt = mdt
     ln = _ln(y2, lnw_ref[0], lnb_ref[0]).astype(dt)
     h1 = jnp.dot(ln, w1_ref[:], preferred_element_type=jnp.float32)
     h1 = _gelu_exact(h1 + b1_ref[0]).astype(dt)
@@ -351,10 +379,12 @@ def _kernel_res_mlp(a_ref, s_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
 
 
 def fused_residual_ln_mlp(a, shortcut, ln_w, ln_b, w1, b1, w2, b2,
-                          interpret: bool = False):
+                          interpret: bool = False, mxu_dtype=None):
     """Fused `y = a + shortcut; y + MLP(LN(y))` over [B,H,W,C] images: one
     HBM read of (a, shortcut), one write, MLP matmuls VMEM-resident."""
     b, h, w, c = a.shape
+    mdt = _mxu_dtype(a.dtype, interpret, mxu_dtype)
+    w1, w2 = w1.astype(mdt), w2.astype(mdt)
     hidden = w1.shape[1]
     # row-strip blocks ≈ ≤1.5 MB (f32) to leave VMEM room for the MLP
     target = max(1, (1_500_000 // (w * c * 4)))
@@ -369,7 +399,7 @@ def fused_residual_ln_mlp(a, shortcut, ln_w, ln_b, w1, b1, w2, b2,
     vec = lambda m: pl.BlockSpec((1, m), const(0, 0), memory_space=pltpu.VMEM)
     f32 = lambda t: t.astype(jnp.float32)
     return pl.pallas_call(
-        _kernel_res_mlp,
+        functools.partial(_kernel_res_mlp, mdt=mdt),
         grid=grid,
         in_specs=[
             img_spec, img_spec,
@@ -392,7 +422,8 @@ def fused_residual_ln_mlp(a, shortcut, ln_w, ln_b, w1, b1, w2, b2,
 
 
 def _kernel_qkv(q_ref, k_ref, v_ref, bias_ref, *rest, wsh: int, wsw: int,
-                num_heads: int, head_dim: int, gh: int, has_mask: bool):
+                num_heads: int, head_dim: int, gh: int, has_mask: bool,
+                mdt):
     """Pre-projected q/k/v images (DAT rect-window branches: the qkv Dense
     and the output proj live outside because AIM consumes v / the branch
     concat, dat_arch.py:409-424)."""
@@ -402,10 +433,10 @@ def _kernel_qkv(q_ref, k_ref, v_ref, bias_ref, *rest, wsh: int, wsw: int,
         (o_ref,) = rest
     n = wsh * wsw
     c = q_ref.shape[-1]
-    dt = q_ref.dtype
-    qb = q_ref[0].reshape(gh * n, c)
-    kb = k_ref[0].reshape(gh * n, c)
-    vb = v_ref[0].reshape(gh * n, c)
+    dt = mdt
+    qb = q_ref[0].reshape(gh * n, c).astype(dt)
+    kb = k_ref[0].reshape(gh * n, c).astype(dt)
+    vb = v_ref[0].reshape(gh * n, c).astype(dt)
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
     for g in range(gh):
@@ -438,6 +469,7 @@ def fused_window_attention_qkv(
     num_heads: int,
     max_gh: int = 4,
     interpret: bool = False,
+    mxu_dtype=None,
 ) -> jnp.ndarray:
     """Fused MHA over pre-projected rect windows; returns [B, H, W, C]."""
     b, h, w, c = q.shape
@@ -447,6 +479,7 @@ def fused_window_attention_qkv(
     hd = c // num_heads
     n_wr, n_wc = h // wsh, w // wsw
     gh = _pick_gh(n_wr, max_gh)
+    mdt = _mxu_dtype(q.dtype, interpret, mxu_dtype)
 
     grid = (b, n_wr // gh, n_wc)
     img_spec = pl.BlockSpec((1, gh * wsh, wsw, c),
@@ -467,7 +500,7 @@ def fused_window_attention_qkv(
 
     kernel = functools.partial(
         _kernel_qkv, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
-        gh=gh, has_mask=has_mask)
+        gh=gh, has_mask=has_mask, mdt=mdt)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -484,21 +517,21 @@ def fused_window_attention_qkv(
 
 
 def _kernel_oca(q_ref, *rest, ws: int, ows: int, num_heads: int,
-                head_dim: int):
+                head_dim: int, mdt):
     kv_refs = rest[:18]
     wproj_ref, bproj_ref, bias_ref, o_ref = rest[18:]
     nq = ws * ws
     nk = ows * ows
     c = q_ref.shape[-1]
-    dt = q_ref.dtype
+    dt = mdt
     # assemble the 24×24 kv window from 3×3 half-window views
     k_rows = [jnp.concatenate([kv_refs[r * 3 + s][0] for s in range(3)],
                               axis=1) for r in range(3)]
-    kw = jnp.concatenate(k_rows, axis=0).reshape(nk, c)
+    kw = jnp.concatenate(k_rows, axis=0).reshape(nk, c).astype(dt)
     v_rows = [jnp.concatenate([kv_refs[9 + r * 3 + s][0] for s in range(3)],
                               axis=1) for r in range(3)]
-    vw = jnp.concatenate(v_rows, axis=0).reshape(nk, c)
-    qw = q_ref[0].reshape(nq, c)
+    vw = jnp.concatenate(v_rows, axis=0).reshape(nk, c).astype(dt)
+    qw = q_ref[0].reshape(nq, c).astype(dt)
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
     head_outs = []
@@ -525,6 +558,7 @@ def fused_overlap_attention(
     bias: jnp.ndarray,              # [nh, ws², ows²] OCA rel-pos bias
     window: int, overlap: int, num_heads: int,
     interpret: bool = False,
+    mxu_dtype=None,
 ) -> jnp.ndarray:
     """OCAB inner attention: ws×ws queries over (ws+overlap)² overlapping
     keys/values (hat_arch.py:352-438), fused with the output projection.
@@ -543,6 +577,8 @@ def fused_overlap_attention(
     assert h % ws == 0 and w % ws == 0 and ws % 2 == 0 and overlap == ws // 2
     n_wr, n_wc = h // ws, w // ws
     hs = ws // 2  # half-window view size; 3×3 views cover (ws+overlap)²
+    mdt = _mxu_dtype(q.dtype, interpret, mxu_dtype)
+    wproj = wproj.astype(mdt)
 
     kp = jnp.pad(k, [(0, 0), (p, p), (p, p), (0, 0)])
     vp = jnp.pad(v, [(0, 0), (p, p), (p, p), (0, 0)])
@@ -567,7 +603,7 @@ def fused_overlap_attention(
     ]
     kernel = functools.partial(
         _kernel_oca, ws=ws, ows=ows, num_heads=num_heads,
-        head_dim=c // num_heads)
+        head_dim=c // num_heads, mdt=mdt)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -602,6 +638,7 @@ def fused_window_attention(
     max_gh: int = 4,
     align: int = 32,
     interpret: bool = False,
+    mxu_dtype=None,
 ) -> jnp.ndarray:
     """One fused (S)W-MSA pass; returns the attended image [B, H, W, C]."""
     b, h, w, c = x.shape
@@ -611,10 +648,12 @@ def fused_window_attention(
     hd = c // num_heads
     n_wr, n_wc = h // wsh, w // wsw
     gh = _pick_gh(n_wr, max_gh)
+    mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
 
     hdp = -(-hd // align) * align if align else hd
     if hdp != hd:
         wqkv, bqkv, wproj = _align_heads(wqkv, bqkv, wproj, num_heads, hd, hdp)
+    wqkv, wproj = wqkv.astype(mdt), wproj.astype(mdt)
     cp = num_heads * hdp
 
     grid = (b, n_wr // gh, n_wc)
@@ -641,7 +680,7 @@ def fused_window_attention(
 
     kernel = functools.partial(
         _kernel, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
-        gh=gh, has_mask=has_mask)
+        gh=gh, has_mask=has_mask, mdt=mdt)
     flops_per = 2 * gh * n * c * 4 * cp + 2 * gh * num_heads * n * n * hdp * 2
     return pl.pallas_call(
         kernel,
