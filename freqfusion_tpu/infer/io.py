@@ -132,7 +132,7 @@ class InferencePipeline:
     """Builds the model once, compiles the tile forward once, runs PNGs."""
 
     def __init__(self, model_dir: str, tile: int = TILE, overlap: int = OVERLAP,
-                 tile_batch: int = TILE_BATCH, precision: str = "highest",
+                 tile_batch: int = TILE_BATCH, precision: str = "default",
                  seed: int = 0, n_devices: Optional[int] = None,
                  fusion_config: Optional[FusionConfig] = None,
                  expert_kwargs: Optional[dict] = None,
@@ -142,7 +142,13 @@ class InferencePipeline:
         # measured 58 dB PSNR vs the f32 pipeline (PARITY.md §quantified) —
         # <0.01 dB against ground truth. FREQFUSION_DTYPE=bfloat16 enables.
         self.dtype = dtype or os.environ.get("FREQFUSION_DTYPE", "float32")
-        self.precision = precision
+        # matmul precision for the XLA glue: "default" (no context) lets
+        # f32 matmuls run XLA's DEFAULT single-bf16-pass truncation — the
+        # same precision class as the Pallas kernels' MXU-operand mode
+        # (ops/pallas/wattn._mxu_dtype) and ~3x faster on TPU than
+        # "highest" (true-f32 multi-pass), at a quantified <0.01 dB PSNR
+        # cost (PARITY.md). Pass precision="highest" to force f32 passes.
+        self.precision = os.environ.get("FREQFUSION_PRECISION", precision)
         self.tile, self.overlap = tile, overlap
         # multi-chip: shard the tile batch over a ('data',) mesh (the
         # TPU-native replacement for the reference's per-GPU expert placement,
@@ -171,8 +177,16 @@ class InferencePipeline:
         self.model = FreqFusionSR(fusion_config or MODEL_CONFIG,
                                   **expert_kwargs)
         dummy = jnp.zeros((tile_batch, tile, tile, 3), jnp.float32)
-        with jax.default_device(host_device()):
-            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        if os.environ.get("FREQFUSION_REAL_INIT", "0") == "1":
+            # true flax init (minutes of host CPU on the full ensemble)
+            with jax.default_device(host_device()):
+                variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        else:
+            # shape-only init (~20 s): checkpoint loading below overwrites
+            # every loaded leaf, and the no-checkpoint path is the
+            # random+warn degraded mode either way (reference parity)
+            from ..utils.runtime import fast_random_variables
+            variables = fast_random_variables(self.model, dummy, seed=seed)
         variables = jax.tree_util.tree_map(np.asarray, variables)
         variables = {k: dict(v) for k, v in variables.items()}
         variables["params"] = dict(variables["params"])
@@ -195,8 +209,7 @@ class InferencePipeline:
         def fwd(variables, tiles):
             if bf16:
                 tiles = tiles.astype(jnp.bfloat16)
-            with jax.default_matmul_precision(
-                    "highest" if precision == "highest" else "bfloat16"):
+            with self._precision_ctx():
                 out = self.model.apply(variables, tiles)
             return out.astype(jnp.float32)
 
@@ -205,6 +218,15 @@ class InferencePipeline:
                                 out_shardings=self._data_sh)
         else:
             self._fwd = jax.jit(fwd)
+
+    def _precision_ctx(self):
+        """Matmul-precision context for the jitted forwards: "default" → no
+        context (XLA DEFAULT = single bf16 pass for f32 matmuls, matching
+        the kernels' MXU mode); anything else → that explicit precision."""
+        import contextlib
+        if self.precision == "default":
+            return contextlib.nullcontext()
+        return jax.default_matmul_precision(self.precision)
 
     def forward_batch(self, tiles: np.ndarray):
         """Returns the (asynchronously dispatched) device array — the tiling
@@ -294,14 +316,13 @@ class InferencePipeline:
         fn = getattr(self, "_fwd_u8_fn", None)
         if fn is None:
             bf16 = self.dtype == "bfloat16"
-            prec = "highest" if self.precision == "highest" else "bfloat16"
 
             def fwd(variables, tiles):
                 if bf16:
                     tiles = tiles.astype(jnp.bfloat16)
                 # same matmul-precision contract as the f32 fwd above — the
                 # primary serving path must match the parity-validated one
-                with jax.default_matmul_precision(prec):
+                with self._precision_ctx():
                     out = self.model.apply(variables, tiles)
                 out = out.astype(jnp.float32)
                 return jnp.round(
