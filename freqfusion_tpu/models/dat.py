@@ -98,8 +98,15 @@ class SpatialWindowAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, q, k, v, mask=None):
-        b, h, w, c = q.shape
+    def __call__(self, q, k, v, mask=None, x=None, wqkv=None, bqkv=None):
+        """Either pre-projected (q, k, v) images, or — fused path — the
+        full-width feature image `x` plus this branch's qkv weight columns
+        (the projection then happens inside the Pallas kernel)."""
+        if x is not None:
+            b, h, w, _ = x.shape
+            c = wqkv.shape[1] // 3
+        else:
+            b, h, w, c = q.shape
         hd = c // self.num_heads
         n = self.hs * self.ws
 
@@ -107,6 +114,13 @@ class SpatialWindowAttention(nn.Module):
             jnp.asarray(W.relative_coords_table(self.hs, self.ws)))
         # gather-free Toeplitz construction (ops/windows.py)
         bias = W.swin_bias_from_table(pos, self.hs, self.ws)
+
+        if x is not None:  # caller gated on use_pallas/backend
+            from ..ops.pallas.wattn import fused_window_attention_xqkv
+            return fused_window_attention_xqkv(
+                x, wqkv, bqkv, bias,
+                np.asarray(mask) if mask is not None else None,
+                (self.hs, self.ws), self.num_heads)
 
         if (self.use_pallas and not self.is_initializing()
                 and jax.default_backend() == "tpu"
@@ -200,6 +214,18 @@ class SpatialInteraction(nn.Module):
         return s  # [B,H,W,1]
 
 
+def _branch_qkv_slices(wqkv, bqkv, c: int, half: int, br: int):
+    """One branch's qkv projection columns from the full [C, 3C] Dense
+    kernel: branch `br` owns channels [br·half, br·half+half) of each of
+    the q/k/v sections (the reference splits the projected tensor the same
+    way, dat_arch.py:417-424)."""
+    off = br * half
+    cols = [slice(s * c + off, s * c + off + half) for s in range(3)]
+    wb = jnp.concatenate([wqkv[:, s] for s in cols], axis=1)
+    bb = jnp.concatenate([bqkv[s] for s in cols])
+    return wb, bb
+
+
 def _should_shift(rg_idx: int, b_idx: int) -> bool:
     return ((rg_idx % 2 == 0 and b_idx > 0 and (b_idx - 2) % 4 == 0)
             or (rg_idx % 2 != 0 and b_idx % 4 == 0))
@@ -218,36 +244,60 @@ class AdaptiveSpatialAttention(nn.Module):
     @nn.compact
     def __call__(self, x):  # [B,H,W,C]
         b, h, w, c = x.shape
-        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        wqkv, bqkv = _DenseParams(c, 3 * c, name="qkv")()
 
         s0, s1 = self.split_size
         sh0, sh1 = self.shift_size
         mx = max(s0, s1)
         ph, pw = (mx - h % mx) % mx, (mx - w % mx) % mx
         _h, _w = h + ph, w + pw
-
-        def pad(t):
-            return jnp.pad(t, [(0, 0), (0, ph), (0, pw), (0, 0)]) if (ph or pw) else t
-
-        qp, kp, vp = pad(q), pad(k), pad(v)
         half = c // 2
         shift = self.shift
+
+        on_tpu = (self.use_pallas and not self.is_initializing()
+                  and jax.default_backend() == "tpu")
+        # In-kernel qkv projection needs unpadded window-multiple shapes
+        # (padding zeros AFTER the projection, as the reference does, is not
+        # the same as projecting a zero-padded image — the bias lands in the
+        # pad region). Serving buckets to 32-px multiples, so the fused path
+        # covers production; ragged shapes take the XLA-projection path.
+        fused_x = on_tpu and ph == 0 and pw == 0 and s0 * s1 >= 64
+
+        if fused_x:
+            # AIM's conv branch consumes the v image: project just v's
+            # columns in XLA (the attention branches re-project in-kernel)
+            v = x @ wqkv[:, 2 * c:] + bqkv[2 * c:]
+        else:
+            qkv = x @ wqkv + bqkv
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def pad(t):
+                return (jnp.pad(t, [(0, 0), (0, ph), (0, pw), (0, 0)])
+                        if (ph or pw) else t)
+
+            qp, kp, vp = pad(q), pad(k), pad(v)
 
         outs = []
         for br, (hs, ws, sh, sw) in enumerate(
                 [(s0, s1, sh0, sh1), (s1, s0, sh1, sh0)]):
+            mask = (W.shift_attn_mask(_h, _w, hs, ws, sh, sw)
+                    if shift else None)
+            mod = SpatialWindowAttention(half, self.num_heads // 2, hs, ws,
+                                         self.use_pallas, name=f"attns_{br}")
+            if fused_x:
+                wb, bb = _branch_qkv_slices(wqkv, bqkv, c, half, br)
+                xb = (jnp.roll(x, (-sh, -sw), axis=(1, 2)) if shift else x)
+                o = mod(None, None, None, mask, x=xb, wqkv=wb, bqkv=bb)
+                if shift:
+                    o = jnp.roll(o, (sh, sw), axis=(1, 2))
+                outs.append(o)
+                continue
             sl = slice(0, half) if br == 0 else slice(half, c)
             qb, kb, vb = qp[..., sl], kp[..., sl], vp[..., sl]
-            mask = None
             if shift:
                 qb, kb, vb = (jnp.roll(t, (-sh, -sw), axis=(1, 2))
                               for t in (qb, kb, vb))
-                # numpy constant; both attention paths consume it
-                mask = W.shift_attn_mask(_h, _w, hs, ws, sh, sw)
-            o = SpatialWindowAttention(half, self.num_heads // 2, hs, ws,
-                                       self.use_pallas,
-                                       name=f"attns_{br}")(qb, kb, vb, mask)
+            o = mod(qb, kb, vb, mask)
             if shift:
                 o = jnp.roll(o, (sh, sw), axis=(1, 2))
             outs.append(o[:, :h, :w, :])
@@ -258,8 +308,7 @@ class AdaptiveSpatialAttention(nn.Module):
         si = SpatialInteraction(c, name="spatial_interaction")
         proj_w, proj_b = _DenseParams(c, c, name="proj")()
 
-        if (self.use_pallas and not self.is_initializing()
-                and jax.default_backend() == "tpu"):
+        if on_tpu:
             from ..ops.pallas.aim import aim_conv_branch, aim_gates_proj
             cx, sums = aim_conv_branch(v, *aimb(raw=True))
             chmap = ci(pooled=sums / np.float32(h * w))

@@ -516,6 +516,118 @@ def fused_window_attention_qkv(
     )(*args)
 
 
+def _kernel_xqkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, *rest, wsh: int,
+                 wsw: int, num_heads: int, head_dim: int, gh: int,
+                 has_mask: bool, mdt):
+    """Rect-window MHA with the qkv projection fused in: reads the full-C
+    feature image, projects this branch's 3·co qkv columns in VMEM, and
+    writes the co-wide attended image (no output projection — DAT's proj
+    happens inside the fused AIM gates kernel, ops/pallas/aim.py)."""
+    if has_mask:
+        mask_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    n = wsh * wsw
+    cin = x_ref.shape[-1]
+    co = wqkv_ref.shape[1] // 3
+    dt = mdt
+    xb = x_ref[0].reshape(gh * n, cin)
+    qkv = jnp.dot(xb.astype(dt), wqkv_ref[:],
+                  preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(dt)
+    scale = jnp.asarray(head_dim ** -0.5, dt)
+
+    for g in range(gh):
+        if has_mask:
+            mg = _select_mask(mask_ref, g, gh)
+        head_outs = []
+        rows = slice(g * n, (g + 1) * n)
+        for h in range(num_heads):
+            q = qkv[rows, h * head_dim:(h + 1) * head_dim]
+            k = qkv[rows, co + h * head_dim:co + (h + 1) * head_dim]
+            v = qkv[rows, 2 * co + h * head_dim:2 * co + (h + 1) * head_dim]
+            a = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            a = a + bias_ref[h]
+            if has_mask:
+                a = a + mg
+            a = jax.nn.softmax(a, axis=-1).astype(dt)
+            head_outs.append(jnp.dot(a, v, preferred_element_type=jnp.float32)
+                             .astype(dt))
+        wout = jnp.concatenate(head_outs, axis=-1)  # [N, co]
+        o_ref[0, g * wsh:(g + 1) * wsh, :, :] = (
+            wout.reshape(wsh, wsw, co).astype(o_ref.dtype))
+
+
+def fused_window_attention_xqkv(
+    x: jnp.ndarray,                 # [B, H, W, Cin] full-width feature image
+    wqkv: jnp.ndarray,              # [Cin, 3·co] this branch's qkv columns
+    bqkv: jnp.ndarray,              # [3·co]
+    bias: jnp.ndarray,              # [num_heads, N, N] (may be traced)
+    mask: Optional[np.ndarray],     # [nW, N, N] shift mask or None
+    window: Tuple[int, int],
+    num_heads: int,
+    max_gh: int = 4,
+    interpret: bool = False,
+    mxu_dtype=None,
+) -> jnp.ndarray:
+    """DAT spatial-branch attention with the qkv Dense fused in: one HBM
+    read of x per branch replaces the XLA qkv image (write + three
+    half-width reads). Returns the co-wide pre-projection attended image.
+    Replaces dat_arch.py:417-474's per-branch qkv split + windowed MHA."""
+    b, h, w, cin = x.shape
+    wsh, wsw = window
+    assert h % wsh == 0 and w % wsw == 0, (h, w, window)
+    n = wsh * wsw
+    co = wqkv.shape[1] // 3
+    hd = co // num_heads
+    n_wr, n_wc = h // wsh, w // wsw
+    gh = _pick_gh(n_wr, max_gh)
+    mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
+    wqkv = wqkv.astype(mdt)
+
+    grid = (b, n_wr // gh, n_wc)
+    img = lambda c_: pl.BlockSpec((1, gh * wsh, wsw, c_),
+                                  lambda bi, i, j: (bi, i, j, 0),
+                                  memory_space=pltpu.VMEM)
+    const = lambda *shape: (lambda bi, i, j: tuple(0 for _ in shape))
+    in_specs = [
+        img(cin),
+        pl.BlockSpec((cin, 3 * co), const(0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * co), const(0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, n, n), const(0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, wqkv, bqkv.astype(jnp.float32).reshape(1, -1),
+            bias.astype(jnp.float32)]
+
+    has_mask = mask is not None
+    if has_mask:
+        in_specs.append(pl.BlockSpec(
+            (4, n, n), lambda bi, i, j: (0, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(_mask_types(mask, n_wr, n_wc), jnp.float32))
+
+    kernel = functools.partial(
+        _kernel_xqkv, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
+        gh=gh, has_mask=has_mask, mdt=mdt)
+    flops_per = (2 * gh * n * cin * 3 * co
+                 + 2 * gh * num_heads * n * n * hd * 2)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=img(co),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * int(np.prod(grid)),
+            bytes_accessed=(x.size + b * h * w * co) * x.dtype.itemsize,
+            transcendentals=int(np.prod(grid)) * gh * num_heads * n * n),
+        compiler_params=MOSAIC_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
 def _kernel_oca(q_ref, *rest, ws: int, ows: int, num_heads: int,
                 head_dim: int, mdt):
     kv_refs = rest[:18]

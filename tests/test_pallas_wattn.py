@@ -103,6 +103,66 @@ def test_fused_qkv_variant_matches_xla_rect_windows():
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_fused_xqkv_variant_matches_xla_rect_windows():
+    """DAT fused-projection variant: full-width x + branch qkv columns in,
+    pre-projection attended image out — vs project-in-XLA then window-MHA."""
+    from freqfusion_tpu.ops.pallas.wattn import fused_window_attention_xqkv
+
+    b, h, w, cin, co, nh = 1, 16, 16, 24, 12, 2
+    hd = co // nh
+    for wsh, wsw, with_mask in ((2, 8, True), (8, 2, False)):
+        n = wsh * wsw
+        keys = jax.random.split(jax.random.PRNGKey(wsh + 17), 4)
+        x = jax.random.normal(keys[0], (b, h, w, cin)) * 0.3
+        wqkv = jax.random.normal(keys[1], (cin, 3 * co)) * 0.05
+        bqkv = jax.random.normal(keys[2], (3 * co,)) * 0.02
+        bias = jax.random.normal(keys[3], (nh, n, n)) * 0.1
+        mask = (W.shift_attn_mask(h, w, wsh, wsw, wsh // 2, wsw // 2)
+                if with_mask else None)
+
+        qkv = x @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_wins(t):
+            t = W.window_partition(t, wsh, wsw)
+            return jnp.transpose(t.reshape(-1, n, nh, hd), (0, 2, 1, 3))
+        qw, kw, vw = to_wins(q), to_wins(k), to_wins(v)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qw * (hd ** -0.5), kw) + bias[None]
+        if with_mask:
+            nw = mask.shape[0]
+            attn = (attn.reshape(b, nw, nh, n, n)
+                    + jnp.asarray(mask)[None, :, None]).reshape(-1, nh, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, vw)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, n, co)
+        want = W.window_reverse(out, wsh, wsw, h, w)
+
+        got = fused_window_attention_xqkv(x, wqkv, bqkv, bias, mask,
+                                          (wsh, wsw), nh, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_branch_qkv_slices_match_split_then_slice():
+    """_branch_qkv_slices must reproduce split(project(x)) branch channels:
+    x @ w_branch == concat(q,k,v branch halves) for both branches."""
+    from freqfusion_tpu.models.dat import _branch_qkv_slices
+
+    c, half = 12, 6
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(keys[0], (2, 4, 4, c)) * 0.3
+    wqkv = jax.random.normal(keys[1], (c, 3 * c)) * 0.05
+    bqkv = jax.random.normal(keys[2], (3 * c,)) * 0.02
+    q, k, v = jnp.split(x @ wqkv + bqkv, 3, axis=-1)
+    for br in (0, 1):
+        sl = slice(br * half, br * half + half)
+        want = jnp.concatenate([q[..., sl], k[..., sl], v[..., sl]], axis=-1)
+        wb, bb = _branch_qkv_slices(wqkv, bqkv, c, half, br)
+        got = x @ wb + bb
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_fused_overlap_attention_matches_xla():
     """OCAB inner attention: 3-strip overlapping kv assembly vs the
     slice-stack XLA path."""
