@@ -99,6 +99,19 @@ def k_naf(stage):
         jnp.zeros((c,)), jnp.zeros((c,))), x, x)
 
 
+def k_xqkv():
+    """DAT spatial branch at the whole-image bench shape (one 8x32 branch)."""
+    from freqfusion_tpu.ops.pallas.wattn import fused_window_attention_xqkv
+    rng = np.random.default_rng(0)
+    cin, co, nh, wsh, wsw = 180, 90, 3, 8, 32
+    n = wsh * wsw
+    x = jnp.asarray(rng.normal(size=(1, 352, 512, cin)), jnp.float32) * 0.3
+    wqkv = jnp.asarray(rng.normal(size=(cin, 3 * co)), jnp.float32) * 0.05
+    bias = jnp.asarray(rng.normal(size=(nh, n, n)), jnp.float32) * 0.1
+    return timeit(lambda a: fused_window_attention_xqkv(
+        a, wqkv, jnp.zeros((3 * co,)), bias, None, (wsh, wsw), nh), x)
+
+
 def k_bandmha():
     from freqfusion_tpu.ops.pallas.bandmha import fused_band_mha
     rng = np.random.default_rng(0)
@@ -117,6 +130,7 @@ KERNELS = {
     "nafA": lambda: k_naf("a"),
     "nafB": lambda: k_naf("b"),
     "bandmha": k_bandmha,
+    "xqkv": k_xqkv,
 }
 
 
