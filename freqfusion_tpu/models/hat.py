@@ -90,15 +90,10 @@ class CAB(nn.Module):
         w1, b1 = _ConvParams((3, 3, c, mid), name="conv1")()
         w2, b2 = _ConvParams((3, 3, mid, c), name="conv2")()
         ca = ChannelAttention(c, self.squeeze, name="ca")
-
-        def conv(t, w_, b_):
-            return jax.lax.conv_general_dilated(
-                t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
-
-        x = gelu(conv(x, w1, b1))
-        x = conv(x, w2, b2)
-        return ca(x)
+        # thin-channel conv pair: lowering is env-selectable (FREQFUSION_
+        # CAB_IMPL) — XLA's native conv runs it at ~25% MXU util (PERF.md)
+        from ..ops.convchain import conv3x3_chain
+        return ca(conv3x3_chain(x, w1, b1, w2, b2))
 
 
 class WindowAttention(nn.Module):
