@@ -77,8 +77,12 @@ def main():
     model = FreqFusionSR(FusionConfig(use_pallas=USE_PALLAS),
                          hat_kwargs=kernels, dat_kwargs=kernels,
                          nafnet_kwargs=kernels)
-    from freqfusion_tpu.utils.runtime import fast_random_variables
+    from freqfusion_tpu.utils.runtime import (fast_random_variables,
+                                              wait_for_backend)
 
+    # the remote TPU tunnel has transient outages; wait (bounded) instead of
+    # dying so a driver-time blip can't zero the measurement
+    wait_for_backend()
     dummy = jnp.zeros((TILE_BATCH, TILE, TILE, 3), jnp.float32)
     stage("backends up")
     # eval_shape + host-side random fill: weight values don't affect

@@ -41,6 +41,44 @@ def enable_compilation_cache(cache_dir: str | None = None):
         pass
 
 
+def wait_for_backend(max_wait_s: float | None = None, poll_s: float = 20.0):
+    """Block until the default JAX backend initializes, retrying UNAVAILABLE.
+
+    The remote TPU tunnel goes down for minutes at a time (multi-hour
+    outages observed); a bench/serving process that dies on its first
+    `jax.devices()` turns a transient outage into a lost measurement.
+    Retries init — clearing the cached failure between attempts — until the
+    backend is up or the budget (`FREQFUSION_BACKEND_WAIT` seconds, default
+    900) runs out, then re-raises the last error. Returns the device list.
+    """
+    import sys
+    import time
+    import jax
+
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("FREQFUSION_BACKEND_WAIT", "900"))
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise
+            msg = str(e).splitlines()[0]
+            print(f"# backend unavailable (attempt {attempt}: {msg}); "
+                  f"retrying in {poll_s:.0f}s ({remaining:.0f}s left)",
+                  file=sys.stderr, flush=True)
+            try:  # a failed init is cached; drop it so the retry re-inits
+                from jax.extend.backend import clear_backends
+                clear_backends()
+            except Exception:
+                pass
+            time.sleep(min(poll_s, remaining))
+
+
 def fast_random_variables(model, *example_args, seed: int = 0):
     """Variables with init-free random values: `jax.eval_shape` the init
     (no FLOPs, no device work) and fill leaves host-side.

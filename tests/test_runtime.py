@@ -1,0 +1,47 @@
+"""utils/runtime helpers: backend-wait retry loop.
+
+The remote TPU tunnel has transient outages (observed multi-hour); bench.py
+and __graft_entry__.entry() ride them out via wait_for_backend() instead of
+dying on the first jax.devices(). These tests drive the retry loop with a
+monkeypatched jax.devices — the real-backend path is exercised every time
+bench.py runs.
+"""
+
+import pytest
+
+from freqfusion_tpu.utils import runtime
+
+
+def test_wait_for_backend_retries_then_succeeds(monkeypatch):
+    import jax
+
+    calls = {"n": 0}
+    real_devices = jax.devices
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("Unable to initialize backend 'axon': "
+                               "UNAVAILABLE: TPU backend setup/compile error")
+        return real_devices(*a, **k)
+
+    monkeypatch.setattr(jax, "devices", flaky)
+    devs = runtime.wait_for_backend(max_wait_s=30.0, poll_s=0.01)
+    assert calls["n"] == 3
+    assert len(devs) >= 1
+
+
+def test_wait_for_backend_times_out(monkeypatch):
+    import jax
+
+    def down(*a, **k):
+        raise RuntimeError("UNAVAILABLE: tunnel down")
+
+    monkeypatch.setattr(jax, "devices", down)
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        runtime.wait_for_backend(max_wait_s=0.05, poll_s=0.01)
+
+
+def test_wait_for_backend_immediate_success():
+    devs = runtime.wait_for_backend(max_wait_s=1.0)
+    assert len(devs) >= 1
