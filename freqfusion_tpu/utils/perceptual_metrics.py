@@ -10,7 +10,9 @@ whatever is available (same formula as eval.py:245-268).
 Always-available metrics implemented natively: PSNR, SSIM (Y, border 4), a
 gradient-magnitude sharpness proxy, and NIQE (utils/niqe.py — native
 feature pipeline; call `fit_pristine(corpus)` first, e.g. with the
-ground-truth images, to activate the column).
+ground-truth images, to activate the column). LPIPS has a native flax
+implementation too (utils/lpips.py) — the column goes live when
+FREQFUSION_LPIPS_WEIGHTS points at a trunk+heads state dict.
 """
 
 from __future__ import annotations
@@ -38,12 +40,22 @@ class PerceptualEvaluator:
         from .niqe import load_pristine
         self._niqe_pristine = load_pristine()
         self._lpips = None
+        self._native_lpips = None
         if self.lpips_available:
             try:
                 import lpips
                 self._lpips = lpips.LPIPS(net="alex")
             except Exception:
                 self.lpips_available = False
+        if self._lpips is None:
+            # native flax LPIPS('alex') — live when FREQFUSION_LPIPS_WEIGHTS
+            # points at a trunk+heads state dict (utils/lpips.py)
+            try:
+                from .lpips import NativeLPIPS
+                self._native_lpips = NativeLPIPS()
+                self.lpips_available = True
+            except Exception:
+                self._native_lpips = None
 
     @property
     def available_metrics(self):
@@ -91,6 +103,8 @@ class PerceptualEvaluator:
                 a.astype(np.float32) / 127.5 - 1.0).permute(2, 0, 1)[None]
             with torch.no_grad():
                 res["lpips"] = float(self._lpips(to_t(output), to_t(target)))
+        elif self._native_lpips is not None:
+            res["lpips"] = self._native_lpips(output, target)
         return res
 
     @staticmethod
