@@ -8,11 +8,12 @@ one-step residual refinement at t=500) plus the inference wrapper with a
 
 The reference's latent codec is the pretrained SD AutoencoderKL via
 diffusers (scale 0.18215) with an identity passthrough when weights are
-absent (tsdsr_wrapper.py:322-333). diffusers/SD weights cannot be fetched in
-this environment, so the same graceful degradation applies: without a codec
-the refiner is an identity, and `TSDSRInference.available` reports it —
-matching the shipped model path, which does not use TSD-SR either
-(SURVEY.md §2.4 "optional").
+absent (tsdsr_wrapper.py:322-333). The codec architecture + converter are
+real here (models/vae.py — flax AutoencoderKL, diffusers-layout converter,
+parity-tested): set FREQFUSION_SDVAE_WEIGHTS to go live. Without weights
+the same graceful degradation applies: the refiner is an identity and
+`TSDSRInference.available` reports it — matching the shipped model path,
+which does not use TSD-SR either (SURVEY.md §2.4 "optional").
 """
 
 from __future__ import annotations
@@ -148,6 +149,20 @@ class TSDSRInference:
                  codec=None, mode: str = "student", num_steps: int = 20):
         self.dit = dit
         self.params = params
+        if codec is None and dit is not None:
+            # constructor-time VAE load, like the reference wrapper
+            # (tsdsr_wrapper.py:70-105): live iff FREQFUSION_SDVAE_WEIGHTS
+            # points at the diffusers state dict (models/vae.py)
+            try:
+                from .vae import SDVAECodec
+                codec = SDVAECodec()
+            except RuntimeError:
+                codec = None       # no weights: identity passthrough
+            except Exception as e:  # bad/incompatible file: degrade + warn
+                import warnings
+                warnings.warn(f"VAE loading failed ({e}); TSD-SR stays an "
+                              "identity passthrough")
+                codec = None
         self.codec = codec
         self.mode = mode
         self.num_steps = num_steps
