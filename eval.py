@@ -6,10 +6,14 @@ writes `{parent}--{folder}.csv` + `.txt` in the reference's format
 (eval.py:273-284). PSNR/SSIM follow the official protocol (Y channel, border
 4, utils_image.py:287-312).
 
-The reference's no-reference perceptual suite (LPIPS, DISTS, NIQE, MUSIQ,
-MANIQA, CLIP-IQA via pyiqa) requires pretrained backbones that cannot be
-fetched in this zero-egress environment; those columns are emitted as NaN
-and excluded from the Total Score, whose formula is kept
+The reference's perceptual suite (LPIPS, DISTS, NIQE, MUSIQ, MANIQA,
+CLIP-IQA via pyiqa, eval.py:48-133): NIQE is native (utils/niqe.py, fit
+from the target corpus); LPIPS and DISTS have native flax towers
+(utils/lpips.py, utils/dists.py) whose columns go live when
+FREQFUSION_LPIPS_WEIGHTS / FREQFUSION_DISTS_WEIGHTS point at the official
+checkpoints. Backbone-bound columns that can't be fetched in this
+zero-egress environment (MUSIQ/MANIQA/CLIP-IQA) are emitted as NaN and
+excluded from the Total Score, whose formula is kept
 ((1−LPIPS)+(1−DISTS)+CLIPIQA+MANIQA+MUSIQ/100+max(0,(10−NIQE)/10),
 eval.py:245-268).
 
@@ -50,6 +54,49 @@ def _one_pair(args):
     return os.path.basename(out_path), p, s, nq
 
 
+def _force_platform(platform: str) -> None:
+    """Pin the jax platform. The TPU harness's sitecustomize reads
+    JAX_PLATFORMS at interpreter startup and force-registers the TPU
+    plugin otherwise — and a second TPU process blocks on the tunnel
+    while serving/bench runs, hanging eval. Eval's metric towers are
+    small, so default CPU. Measured: the env var must be set at process
+    start (setting it in main() is too late), so re-exec once."""
+    if os.environ.get("JAX_PLATFORMS") != platform:
+        env = dict(os.environ, JAX_PLATFORMS=platform)
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    import jax
+    jax.config.update("jax_platforms", platform)
+
+
+def _full_reference_columns(jobs) -> dict:
+    """Per-image LPIPS/DISTS via the native flax towers, when their weight
+    env vars are set (reference eval.py:51-56 pyiqa metrics)."""
+    metrics = {}
+    try:
+        from freqfusion_tpu.utils.lpips import NativeLPIPS
+        metrics["lpips"] = NativeLPIPS()
+    except Exception:
+        pass
+    try:
+        from freqfusion_tpu.utils.dists import NativeDISTS
+        metrics["dists"] = NativeDISTS()
+    except Exception:
+        pass
+    if not metrics:
+        return {}
+    from PIL import Image
+    cols = {k: [] for k in metrics}
+    for out_path, tgt_path, _border, _pristine in jobs:
+        out = np.asarray(Image.open(out_path).convert("RGB"))
+        tgt = np.asarray(Image.open(tgt_path).convert("RGB"))
+        if out.shape != tgt.shape:
+            tgt = np.asarray(Image.open(tgt_path).convert("RGB").resize(
+                (out.shape[1], out.shape[0])))
+        for k, fn in metrics.items():
+            cols[k].append(fn(out, tgt))
+    return cols
+
+
 def total_score(means: dict) -> float:
     """Weighted perception score with available components only."""
     score = 0.0
@@ -78,11 +125,16 @@ def main():
                          "output dir, keeping the reference's naming)")
     ap.add_argument("--no-niqe", action="store_true",
                     help="skip the native NIQE column")
+    ap.add_argument("--platform", default=os.environ.get(
+        "JAX_PLATFORMS", "cpu"),
+        help="jax platform for the metric towers (default cpu — eval "
+             "usually runs beside a TPU serving/bench process)")
     ap.add_argument("--niqe-corpus", type=int, default=20,
                     help="max ground-truth images used to fit the pristine "
                          "NIQE model when model_zoo/niqe_pristine.npz is "
                          "absent")
     args = ap.parse_args()
+    _force_platform(args.platform)
 
     outs = sorted(f for f in os.listdir(args.output) if f.lower().endswith(".png"))
     tgts = sorted(f for f in os.listdir(args.target) if f.lower().endswith(".png"))
@@ -113,6 +165,10 @@ def main():
     else:
         rows = [_one_pair(j) for j in jobs]
 
+    # Native full-reference perceptual columns (jitted towers — computed in
+    # the main process, not the pool, so each compiles once per shape).
+    fr_cols = _full_reference_columns(jobs)
+
     psnr_mean = float(np.mean([r[1] for r in rows if math.isfinite(r[1])]))
     ssim_mean = float(np.mean([r[2] for r in rows]))
     niqe_vals = [r[3] for r in rows if math.isfinite(r[3])]
@@ -120,19 +176,24 @@ def main():
              **{k: float("nan") for k in PERCEPTUAL_COLUMNS}}
     if niqe_vals:
         means["niqe"] = float(np.mean(niqe_vals))
+    for k, vals in fr_cols.items():
+        means[k] = float(np.mean(vals))
     means["total_score"] = total_score(means)
 
     parent = os.path.basename(os.path.dirname(os.path.abspath(args.output)))
     folder = os.path.basename(os.path.abspath(args.output))
     csv_dir = args.csv_dir or os.path.dirname(os.path.abspath(args.output))
     stem = os.path.join(csv_dir, f"{parent}--{folder}")
+    live = sorted(fr_cols)
     with open(stem + ".csv", "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["image", "psnr", "ssim", "niqe"])
-        for name, p, s, nq in rows:
-            w.writerow([name, f"{p:.4f}", f"{s:.5f}", f"{nq:.4f}"])
+        w.writerow(["image", "psnr", "ssim", "niqe"] + live)
+        for i, (name, p, s, nq) in enumerate(rows):
+            w.writerow([name, f"{p:.4f}", f"{s:.5f}", f"{nq:.4f}"]
+                       + [f"{fr_cols[k][i]:.5f}" for k in live])
         w.writerow(["MEAN", f"{psnr_mean:.4f}", f"{ssim_mean:.5f}",
-                    f"{means['niqe']:.4f}"])
+                    f"{means['niqe']:.4f}"]
+                   + [f"{means[k]:.5f}" for k in live])
     with open(stem + ".txt", "w") as f:
         for k, v in means.items():
             f.write(f"{k}: {v}\n")

@@ -56,6 +56,13 @@ class PerceptualEvaluator:
                 self.lpips_available = True
             except Exception:
                 self._native_lpips = None
+        # native flax DISTS — live when FREQFUSION_DISTS_WEIGHTS points at
+        # the official checkpoint (utils/dists.py)
+        try:
+            from .dists import NativeDISTS
+            self._native_dists = NativeDISTS()
+        except Exception:
+            self._native_dists = None
 
     @property
     def available_metrics(self):
@@ -64,10 +71,11 @@ class PerceptualEvaluator:
             out.append("niqe")
         if self.lpips_available:
             out.append("lpips")
+        if self._native_dists is not None:
+            out.append("dists")
         if self.pyiqa_available:
-            out += ["dists", "musiq", "maniqa", "clipiqa"]
-            if "niqe" not in out:
-                out.append("niqe")
+            out += [m for m in ("dists", "musiq", "maniqa", "clipiqa", "niqe")
+                    if m not in out]
         return out
 
     def fit_pristine(self, images) -> None:
@@ -105,6 +113,8 @@ class PerceptualEvaluator:
                 res["lpips"] = float(self._lpips(to_t(output), to_t(target)))
         elif self._native_lpips is not None:
             res["lpips"] = self._native_lpips(output, target)
+        if self._native_dists is not None:
+            res["dists"] = self._native_dists(output, target)
         return res
 
     @staticmethod
