@@ -82,6 +82,11 @@ def _full_reference_columns(jobs) -> dict:
         metrics["dists"] = NativeDISTS()
     except Exception:
         pass
+    try:
+        from freqfusion_tpu.utils.clipiqa import NativeCLIPIQA
+        metrics["clipiqa"] = NativeCLIPIQA()
+    except Exception:
+        pass
     if not metrics:
         return {}
     from PIL import Image
@@ -125,10 +130,11 @@ def main():
                          "output dir, keeping the reference's naming)")
     ap.add_argument("--no-niqe", action="store_true",
                     help="skip the native NIQE column")
-    ap.add_argument("--platform", default=os.environ.get(
-        "JAX_PLATFORMS", "cpu"),
+    ap.add_argument("--platform", default="cpu",
         help="jax platform for the metric towers (default cpu — eval "
-             "usually runs beside a TPU serving/bench process)")
+             "usually runs beside a TPU serving/bench process, and the "
+             "harness exports JAX_PLATFORMS=axon globally, so the env "
+             "var is deliberately NOT honored as a default)")
     ap.add_argument("--niqe-corpus", type=int, default=20,
                     help="max ground-truth images used to fit the pristine "
                          "NIQE model when model_zoo/niqe_pristine.npz is "

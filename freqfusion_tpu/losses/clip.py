@@ -43,10 +43,10 @@ class _ResidualAttentionBlock(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x):  # [B, N, E]
+    def __call__(self, x, attn_mask=None):  # [B, N, E]
         h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         x = x + TorchMHA(self.width, self.heads, dropout=0.0,
-                         name="attn")(h)
+                         name="attn")(h, attn_mask=attn_mask)
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(self.width * 4, name="c_fc")(h)
         h = nn.Dense(self.width, name="c_proj")(quick_gelu(h))

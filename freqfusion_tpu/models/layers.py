@@ -107,6 +107,8 @@ class TorchMHA(nn.Module):
 
     Input [..., N, E]; self-attention over the N axis. Dropout on attention
     probabilities like torch (rate applied only when train=True).
+    `attn_mask` is torch's additive float mask ([N, N], e.g. causal -inf
+    upper triangle), added to the logits before softmax.
     """
 
     embed_dim: int
@@ -114,7 +116,8 @@ class TorchMHA(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False, raw: bool = False):
+    def __call__(self, x, train: bool = False, raw: bool = False,
+                 attn_mask=None):
         e, h = self.embed_dim, self.num_heads
         hd = e // h
         in_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
@@ -132,6 +135,8 @@ class TorchMHA(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)  # [..., h, N, hd]
         attn = jnp.einsum("...nd,...md->...nm", q * (hd ** -0.5), k,
                           preferred_element_type=jnp.float32)
+        if attn_mask is not None:
+            attn = attn + attn_mask.astype(attn.dtype)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("...nm,...md->...nd", attn, v,

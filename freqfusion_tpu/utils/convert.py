@@ -102,6 +102,10 @@ def fill_params(flax_params, torch_sd: Dict[str, np.ndarray],
         tkey = key_fn(path)
         shape = tuple(np.asarray(leaf).shape) if not hasattr(leaf, "shape") \
             else tuple(leaf.shape)
+        # eval_shape trees carry ShapeDtypeStruct leaves — np.asarray on
+        # those yields dtype=object; prefer the leaf's own dtype.
+        dtype = leaf.dtype if hasattr(leaf, "dtype") \
+            else np.asarray(leaf).dtype
         if isinstance(tkey, Stacked):
             keys = tkey.keys(shape)
             slice_shape = shape[tkey.naxes:]
@@ -116,11 +120,11 @@ def fill_params(flax_params, torch_sd: Dict[str, np.ndarray],
                 continue
             stacked = np.stack([_adapt(torch_sd[k], slice_shape, path[-1])
                                 for k in keys])
-            out[path] = stacked.reshape(shape).astype(np.asarray(leaf).dtype)
+            out[path] = stacked.reshape(shape).astype(dtype)
             used.update(keys)
         elif tkey in torch_sd:
             out[path] = _adapt(torch_sd[tkey], shape,
-                               path[-1]).astype(np.asarray(leaf).dtype)
+                               path[-1]).astype(dtype)
             used.add(tkey)
         else:
             if strict:

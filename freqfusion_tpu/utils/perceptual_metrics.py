@@ -63,6 +63,13 @@ class PerceptualEvaluator:
             self._native_dists = NativeDISTS()
         except Exception:
             self._native_dists = None
+        # native CLIP-IQA — live when FREQFUSION_CLIPIQA_WEIGHTS +
+        # FREQFUSION_CLIP_BPE point at the OpenAI CLIP ckpt/vocab
+        try:
+            from .clipiqa import NativeCLIPIQA
+            self._native_clipiqa = NativeCLIPIQA()
+        except Exception:
+            self._native_clipiqa = None
 
     @property
     def available_metrics(self):
@@ -73,6 +80,8 @@ class PerceptualEvaluator:
             out.append("lpips")
         if self._native_dists is not None:
             out.append("dists")
+        if self._native_clipiqa is not None:
+            out.append("clipiqa")
         if self.pyiqa_available:
             out += [m for m in ("dists", "musiq", "maniqa", "clipiqa", "niqe")
                     if m not in out]
@@ -115,6 +124,8 @@ class PerceptualEvaluator:
             res["lpips"] = self._native_lpips(output, target)
         if self._native_dists is not None:
             res["dists"] = self._native_dists(output, target)
+        if self._native_clipiqa is not None:
+            res["clipiqa"] = self._native_clipiqa(output)
         return res
 
     @staticmethod
