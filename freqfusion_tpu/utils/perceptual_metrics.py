@@ -10,9 +10,13 @@ whatever is available (same formula as eval.py:245-268).
 Always-available metrics implemented natively: PSNR, SSIM (Y, border 4), a
 gradient-magnitude sharpness proxy, and NIQE (utils/niqe.py — native
 feature pipeline; call `fit_pristine(corpus)` first, e.g. with the
-ground-truth images, to activate the column). LPIPS has a native flax
-implementation too (utils/lpips.py) — the column goes live when
-FREQFUSION_LPIPS_WEIGHTS points at a trunk+heads state dict.
+ground-truth images, to activate the column). Native flax towers whose
+columns go live the moment public weights land (zero-egress here):
+LPIPS (utils/lpips.py, FREQFUSION_LPIPS_WEIGHTS), DISTS (utils/dists.py,
+FREQFUSION_DISTS_WEIGHTS), CLIP-IQA (utils/clipiqa.py,
+FREQFUSION_CLIPIQA_WEIGHTS + FREQFUSION_CLIP_BPE). MUSIQ/MANIQA remain
+pyiqa-gated NaN columns — no vendored source exists to rebuild them
+against, and their pretrained backbones can't be fetched.
 """
 
 from __future__ import annotations
