@@ -15,6 +15,8 @@ from freqfusion_tpu.utils import runtime
 def test_wait_for_backend_retries_then_succeeds(monkeypatch):
     import jax
 
+    jax.devices()  # pre-warm: backend init under a loaded box can exceed
+    # the retry window and fail the third (real) call spuriously
     calls = {"n": 0}
     real_devices = jax.devices
 
