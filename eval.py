@@ -8,12 +8,14 @@ writes `{parent}--{folder}.csv` + `.txt` in the reference's format
 
 The reference's perceptual suite (LPIPS, DISTS, NIQE, MUSIQ, MANIQA,
 CLIP-IQA via pyiqa, eval.py:48-133): NIQE is native (utils/niqe.py, fit
-from the target corpus); LPIPS and DISTS have native flax towers
-(utils/lpips.py, utils/dists.py) whose columns go live when
-FREQFUSION_LPIPS_WEIGHTS / FREQFUSION_DISTS_WEIGHTS point at the official
-checkpoints. Backbone-bound columns that can't be fetched in this
-zero-egress environment (MUSIQ/MANIQA/CLIP-IQA) are emitted as NaN and
-excluded from the Total Score, whose formula is kept
+from the target corpus); LPIPS, DISTS and CLIP-IQA have native flax
+towers (utils/lpips.py, utils/dists.py, utils/clipiqa.py) whose columns
+go live when FREQFUSION_LPIPS_WEIGHTS / FREQFUSION_DISTS_WEIGHTS /
+FREQFUSION_CLIPIQA_WEIGHTS(+FREQFUSION_CLIP_BPE) point at the official
+checkpoints. MUSIQ/MANIQA have no vendored source to rebuild against and
+their backbones can't be fetched in this zero-egress environment; those
+columns are emitted as NaN and excluded from the Total Score, whose
+formula is kept
 ((1−LPIPS)+(1−DISTS)+CLIPIQA+MANIQA+MUSIQ/100+max(0,(10−NIQE)/10),
 eval.py:245-268).
 
@@ -36,22 +38,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PERCEPTUAL_COLUMNS = ("lpips", "dists", "niqe", "musiq", "maniqa", "clipiqa")
 
 
-def _one_pair(args):
-    out_path, tgt_path, border, pristine = args
+def _decode_pair(out_path, tgt_path):
     from PIL import Image
-    from freqfusion_tpu.utils.metrics import psnr_ssim_files
 
     out = np.asarray(Image.open(out_path).convert("RGB"))
     tgt = np.asarray(Image.open(tgt_path).convert("RGB"))
     if out.shape != tgt.shape:  # resize-to-common like eval.py:100-106
         tgt = np.asarray(Image.open(tgt_path).convert("RGB").resize(
             (out.shape[1], out.shape[0])))
+    return out, tgt
+
+
+def _pair_row(out_path, out, tgt, border, pristine):
+    from freqfusion_tpu.utils.metrics import psnr_ssim_files
+
     p, s = psnr_ssim_files(out, tgt, border)
     nq = float("nan")
     if pristine is not None:
         from freqfusion_tpu.utils.niqe import niqe
         nq = niqe(out, pristine)
     return os.path.basename(out_path), p, s, nq
+
+
+def _one_pair(args):
+    out_path, tgt_path, border, pristine = args
+    out, tgt = _decode_pair(out_path, tgt_path)
+    return _pair_row(out_path, out, tgt, border, pristine)
 
 
 def _force_platform(platform: str) -> None:
@@ -68,38 +80,33 @@ def _force_platform(platform: str) -> None:
     jax.config.update("jax_platforms", platform)
 
 
-def _full_reference_columns(jobs) -> dict:
-    """Per-image LPIPS/DISTS via the native flax towers, when their weight
-    env vars are set (reference eval.py:51-56 pyiqa metrics)."""
+def _live_tower_metrics() -> dict:
+    """Native flax tower metrics whose weight env vars are set (reference
+    eval.py:51-56 pyiqa metrics). A metric whose env var is unset is simply
+    absent; a metric whose weights are SET but broken warns loudly instead
+    of silently dropping its column."""
+    import warnings
+
+    specs = (
+        ("lpips", "FREQFUSION_LPIPS_WEIGHTS",
+         "freqfusion_tpu.utils.lpips", "NativeLPIPS"),
+        ("dists", "FREQFUSION_DISTS_WEIGHTS",
+         "freqfusion_tpu.utils.dists", "NativeDISTS"),
+        ("clipiqa", "FREQFUSION_CLIPIQA_WEIGHTS",
+         "freqfusion_tpu.utils.clipiqa", "NativeCLIPIQA"),
+    )
     metrics = {}
-    try:
-        from freqfusion_tpu.utils.lpips import NativeLPIPS
-        metrics["lpips"] = NativeLPIPS()
-    except Exception:
-        pass
-    try:
-        from freqfusion_tpu.utils.dists import NativeDISTS
-        metrics["dists"] = NativeDISTS()
-    except Exception:
-        pass
-    try:
-        from freqfusion_tpu.utils.clipiqa import NativeCLIPIQA
-        metrics["clipiqa"] = NativeCLIPIQA()
-    except Exception:
-        pass
-    if not metrics:
-        return {}
-    from PIL import Image
-    cols = {k: [] for k in metrics}
-    for out_path, tgt_path, _border, _pristine in jobs:
-        out = np.asarray(Image.open(out_path).convert("RGB"))
-        tgt = np.asarray(Image.open(tgt_path).convert("RGB"))
-        if out.shape != tgt.shape:
-            tgt = np.asarray(Image.open(tgt_path).convert("RGB").resize(
-                (out.shape[1], out.shape[0])))
-        for k, fn in metrics.items():
-            cols[k].append(fn(out, tgt))
-    return cols
+    for name, env, mod, cls in specs:
+        configured = bool(os.environ.get(env))
+        try:
+            module = __import__(mod, fromlist=[cls])
+            metrics[name] = getattr(module, cls)()
+        except Exception as e:
+            if configured:
+                warnings.warn(f"{name} weights configured via {env} but the "
+                              f"metric failed to load ({e}); column will be "
+                              "NaN")
+    return metrics
 
 
 def total_score(means: dict) -> float:
@@ -165,15 +172,23 @@ def main():
 
     jobs = [(os.path.join(args.output, o), os.path.join(args.target, t),
              args.border, pristine) for o, t in zip(outs, tgts)]
-    if args.workers > 1 and len(jobs) > 1:
+    towers = _live_tower_metrics()
+    fr_cols = {k: [] for k in towers}
+    if towers:
+        # jitted towers run in the main process (one compile per shape);
+        # decode each pair once and feed both the numpy metrics and the
+        # tower metrics from the same arrays
+        rows = []
+        for out_path, tgt_path, border, prs in jobs:
+            out, tgt = _decode_pair(out_path, tgt_path)
+            rows.append(_pair_row(out_path, out, tgt, border, prs))
+            for k, fn in towers.items():
+                fr_cols[k].append(fn(out, tgt))
+    elif args.workers > 1 and len(jobs) > 1:
         with ProcessPoolExecutor(args.workers) as pool:
             rows = list(pool.map(_one_pair, jobs))
     else:
         rows = [_one_pair(j) for j in jobs]
-
-    # Native full-reference perceptual columns (jitted towers — computed in
-    # the main process, not the pool, so each compiles once per shape).
-    fr_cols = _full_reference_columns(jobs)
 
     psnr_mean = float(np.mean([r[1] for r in rows if math.isfinite(r[1])]))
     ssim_mean = float(np.mean([r[2] for r in rows]))

@@ -257,10 +257,10 @@ class InferencePipeline:
             seen.add(key)
             warnings.warn(msg)
 
-    def _whole_image_plan(self, h: int, w: int, commit: bool = True):
-        """(padded_h, padded_w) bucket for a whole-image dispatch, or None
-        when the image must take the tiled path. `commit=False` only probes
-        (no shape-cache entry) — the directory loop's batch grouping."""
+    def _whole_image_plan(self, h: int, w: int):
+        """(padded_h, padded_w) bucket for a whole-image dispatch (commits
+        a shape-cache entry), or None when the image must take the tiled
+        path (pixel budget, reflect-pad limit, or shape-cache cap)."""
         if self.WHOLE_IMAGE_MAX_PX <= 0:
             return None
         hp = -(-max(h, 64) // 32) * 32
@@ -286,8 +286,7 @@ class InferencePipeline:
                 f"{self.WHOLE_IMAGE_MAX_SHAPES}); new bucket {wp}x{hp} "
                 "takes the tiled path")
             return None
-        if commit:
-            cache.add((hp, wp))
+        cache.add((hp, wp))
         return hp, wp
 
     def run_image(self, lr: np.ndarray) -> np.ndarray:

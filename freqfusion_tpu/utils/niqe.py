@@ -81,7 +81,11 @@ def _aggd_fit(x: np.ndarray) -> Tuple[float, float, float, float]:
     alpha = float(_GAM[np.argmin((_R_GAM - rn) ** 2)])
     g1 = math.gamma(1.0 / alpha)
     g2 = math.gamma(2.0 / alpha)
-    eta = (sig_r - sig_l) * (g2 / g1)
+    g3 = math.gamma(3.0 / alpha)
+    # η = (βr − βl)·Γ(2/α)/Γ(1/α) with β = σ·sqrt(Γ(1/α)/Γ(3/α)) — the
+    # published AGGD mean (MATLAB estimateaggdparam), keeping the feature
+    # scale compatible with pristine models fit by the official pipeline
+    eta = (sig_r - sig_l) * (g2 / g1) * math.sqrt(g1 / g3)
     return alpha, eta, sig_l ** 2, sig_r ** 2
 
 

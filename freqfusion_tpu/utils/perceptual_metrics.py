@@ -51,29 +51,38 @@ class PerceptualEvaluator:
                 self._lpips = lpips.LPIPS(net="alex")
             except Exception:
                 self.lpips_available = False
+        def _load_native(env, maker, label):
+            """Missing weights → None silently; CONFIGURED but broken
+            weights → None with a loud warning (a silent NaN column hides
+            the misconfiguration)."""
+            import os
+            import warnings
+            try:
+                return maker()
+            except Exception as e:
+                if os.environ.get(env):
+                    warnings.warn(f"{label} weights configured via {env} "
+                                  f"but failed to load ({e}); column stays "
+                                  "NaN")
+                return None
+
         if self._lpips is None:
             # native flax LPIPS('alex') — live when FREQFUSION_LPIPS_WEIGHTS
             # points at a trunk+heads state dict (utils/lpips.py)
-            try:
-                from .lpips import NativeLPIPS
-                self._native_lpips = NativeLPIPS()
-                self.lpips_available = True
-            except Exception:
-                self._native_lpips = None
+            from .lpips import NativeLPIPS
+            self._native_lpips = _load_native(
+                "FREQFUSION_LPIPS_WEIGHTS", NativeLPIPS, "lpips")
+            self.lpips_available = self._native_lpips is not None
         # native flax DISTS — live when FREQFUSION_DISTS_WEIGHTS points at
         # the official checkpoint (utils/dists.py)
-        try:
-            from .dists import NativeDISTS
-            self._native_dists = NativeDISTS()
-        except Exception:
-            self._native_dists = None
+        from .dists import NativeDISTS
+        self._native_dists = _load_native(
+            "FREQFUSION_DISTS_WEIGHTS", NativeDISTS, "dists")
         # native CLIP-IQA — live when FREQFUSION_CLIPIQA_WEIGHTS +
         # FREQFUSION_CLIP_BPE point at the OpenAI CLIP ckpt/vocab
-        try:
-            from .clipiqa import NativeCLIPIQA
-            self._native_clipiqa = NativeCLIPIQA()
-        except Exception:
-            self._native_clipiqa = None
+        from .clipiqa import NativeCLIPIQA
+        self._native_clipiqa = _load_native(
+            "FREQFUSION_CLIPIQA_WEIGHTS", NativeCLIPIQA, "clipiqa")
 
     @property
     def available_metrics(self):

@@ -119,10 +119,12 @@ def main():
         report("conv", *timeit(convs, x))
 
     if "ocab" in names:
-        from freqfusion_tpu.ops.pallas.wattn import fused_ocab_attention
+        # mirrors models/hat.py OCAB: qkv projected in XLA, inner attention
+        # + output projection fused (fused_overlap_attention takes q/k/v)
+        from freqfusion_tpu.ops.pallas.wattn import fused_overlap_attention
         nh, ws = 6, 16
-        ovr = 0.5
-        wso = int(ws * (1 + ovr))
+        ovl = ws // 2                    # overlap px (ows - ws)
+        wso = ws + ovl
         weights = []
         for r in range(REPS):
             weights.append(dict(
@@ -134,8 +136,11 @@ def main():
 
         def ocabs(a):
             for wd in weights:
-                a = fused_ocab_attention(a, wd["wqkv"], wd["wproj"],
-                                         wd["bproj"], wd["bias"], ws, ovr, nh)
+                qkv = a @ wd["wqkv"]
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                a = fused_overlap_attention(q, k, v, wd["wproj"],
+                                            wd["bproj"], wd["bias"],
+                                            ws, ovl, nh)
             return a
         report("ocab", *timeit(ocabs, x))
 

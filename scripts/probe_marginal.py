@@ -78,15 +78,15 @@ def main():
                                     use_pallas=True),
     }
 
-    def _datb(b_idx, use_pallas=False):
+    def _datb(spatial, shift=False, use_pallas=False):
         from freqfusion_tpu.models.dat import DATB
-        return lambda: DATB(c, heads, (8, 32), 4.0, 0, b_idx,
+        return lambda: DATB(c, heads, (8, 32), 4.0, spatial, shift,
                             use_pallas=use_pallas)
 
-    probes["datb_spatial"] = _datb(0)
-    probes["datb_spatial_pallas"] = _datb(0, True)
-    probes["datb_spatial_shift"] = _datb(2)
-    probes["datb_channel"] = _datb(1)
+    probes["datb_spatial"] = _datb(True)
+    probes["datb_spatial_pallas"] = _datb(True, use_pallas=True)
+    probes["datb_spatial_shift"] = _datb(True, shift=True)
+    probes["datb_channel"] = _datb(False)
 
     # NAFNet blocks run at HR resolution (×4 the tile): probe at the real
     # production pixel load — 768² for a 192² tile — but batch 1 to fit.
