@@ -56,7 +56,10 @@ def wait_for_backend(max_wait_s: float | None = None, poll_s: float = 20.0):
     import jax
 
     if max_wait_s is None:
-        max_wait_s = float(os.environ.get("FREQFUSION_BACKEND_WAIT", "900"))
+        # multi-hour outages observed (r3: ≥4.5 h); the driver's bench
+        # budget is the real bound — waiting costs nothing when the run
+        # would otherwise die with no measurement
+        max_wait_s = float(os.environ.get("FREQFUSION_BACKEND_WAIT", "1800"))
     deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
