@@ -24,6 +24,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize force-registers the TPU platform even under
+    # JAX_PLATFORMS=cpu; the config override must land before first jax use
+    # (CLAUDE.md) — without it a CPU-intended bench grabs the TPU tunnel
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 A100_EST_HR_MPS = 5.3   # analytic estimate, see module docstring
 TARGET_MULT = 5.0
 N_CHIPS_TARGET = 8
@@ -33,7 +40,10 @@ N_CHIPS_TARGET = 8
 TILE = int(os.environ.get("FREQFUSION_TILE", "192"))
 OVERLAP = int(os.environ.get("FREQFUSION_OVERLAP", "32"))
 TILE_BATCH = int(os.environ.get("FREQFUSION_TILE_BATCH", "2"))
-DTYPE = os.environ.get("FREQFUSION_BENCH_DTYPE", "float32")  # or "bfloat16"
+# bf16 params+activations is the shipped default: measured 1.139 vs 1.073
+# MP/s/chip f32 at the bench shape (PERF.md r3 experiments), with PSNR-vs-f32
+# 58.2 dB / max |err| 0.017 (PARITY.md) — far beyond perceptual relevance.
+DTYPE = os.environ.get("FREQFUSION_BENCH_DTYPE", "bfloat16")  # or "float32"
 # fused Pallas window/OCAB attention: default ON (1.5x full-HAT measured);
 # set FREQFUSION_USE_PALLAS=0 to compare against the pure-XLA chain
 USE_PALLAS = os.environ.get("FREQFUSION_USE_PALLAS", "1") == "1"
@@ -43,7 +53,10 @@ USE_PALLAS = os.environ.get("FREQFUSION_USE_PALLAS", "1") == "1"
 # payloads cost ~1.6 s/frame; uint8 + dispatch-ahead hides the transfer).
 # FREQFUSION_WHOLE_IMAGE=0 benches the tiled fallback pipeline.
 WHOLE_IMAGE = os.environ.get("FREQFUSION_WHOLE_IMAGE", "1") == "1"
-LR_H, LR_W = 339, 510   # DIV2K ×4 LR size for a 2040×1356 HR image
+# DIV2K ×4 LR size for a 2040×1356 HR image; overridable so the full
+# pipeline can be driven at toy size on CPU (verification, not measurement)
+LR_H = int(os.environ.get("FREQFUSION_BENCH_LR_H", "339"))
+LR_W = int(os.environ.get("FREQFUSION_BENCH_LR_W", "510"))
 # FREQFUSION_BENCH_HETERO=1: stream 3 distinct shape buckets instead of one
 # image — measures the serving loop's real behavior on a ragged directory
 # (per-bucket programs, pipelining across shape changes). 3× the compiles.

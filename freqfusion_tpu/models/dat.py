@@ -149,7 +149,10 @@ class SpatialWindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, vw,
                          preferred_element_type=jnp.float32)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, n, c)
+        # cast the f32 accumulation back so bf16 inputs stay bf16 (the scan
+        # over RG pairs requires a dtype-stable carry; the Pallas path above
+        # already returns the input dtype)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(-1, n, c).astype(q.dtype)
         return W.window_reverse(out, self.hs, self.ws, h, w)
 
 

@@ -141,7 +141,10 @@ class TorchMHA(nn.Module):
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("...nm,...md->...nd", attn, v,
                          preferred_element_type=jnp.float32)
-        out = jnp.moveaxis(out, -3, -2).reshape(*x.shape[:-1], e)
+        # cast the f32 accumulation back to the input dtype — a f32 operand
+        # would promote the bf16-param out_proj matmul (and everything
+        # downstream) to f32
+        out = jnp.moveaxis(out, -3, -2).reshape(*x.shape[:-1], e).astype(x.dtype)
         return nn.Dense(e, name="out_proj")(out)
 
 

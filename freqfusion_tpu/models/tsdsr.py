@@ -66,7 +66,8 @@ class DiTBlock(nn.Module):
                        preferred_element_type=jnp.float32), axis=-1)
         o = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                        preferred_element_type=jnp.float32)
-        o = jnp.moveaxis(o, 1, 2).reshape(b, n, c)
+        # f32 accumulation, input-dtype output (bf16 stays bf16 downstream)
+        o = jnp.moveaxis(o, 1, 2).reshape(b, n, c).astype(x.dtype)
         x = x + nn.Dense(c, name="proj")(o)
 
         h = AdaLayerNorm(self.hidden, name="norm2")(x, cond)

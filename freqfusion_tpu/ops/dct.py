@@ -142,11 +142,11 @@ def dct2d(blocks: jnp.ndarray, n: int = 8) -> jnp.ndarray:
     """Forward 2-D DCT of [..., n, n] blocks: D·X·Dᵀ."""
     d = jnp.asarray(dct_matrix(n))
     return jnp.einsum("ka,...ab,lb->...kl", d, blocks, d,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32).astype(blocks.dtype)
 
 
 def idct2d(coeffs: jnp.ndarray, n: int = 8) -> jnp.ndarray:
     """Inverse 2-D DCT of [..., n, n] coefficients: Dᵀ·Y·D."""
     d = jnp.asarray(dct_matrix(n))
     return jnp.einsum("ka,...kl,lb->...ab", d, coeffs, d,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32).astype(coeffs.dtype)
