@@ -41,15 +41,61 @@ def enable_compilation_cache(cache_dir: str | None = None):
         pass
 
 
+def _is_remote_platform() -> bool:
+    """True when the default platform is the remote (tunnel-backed) TPU.
+
+    CPU init is local and instant — safe to call in-process. Anything else
+    (the axon plugin, which the sitecustomize force-registers even with no
+    env set) goes over the tunnel and must be probed out-of-process.
+    """
+    import jax
+
+    plats = str(jax.config.jax_platforms or
+                os.environ.get("JAX_PLATFORMS", "") or "axon")
+    return plats.split(",")[0] != "cpu"
+
+
+def _backend_probe_ok(timeout_s: float) -> bool:
+    """Probe backend liveness in a BOUNDED subprocess.
+
+    Two distinct outage modes observed on the remote TPU tunnel (r3):
+    (a) init raises UNAVAILABLE immediately, and (b) init HANGS — the
+    tunnel accepts the connection but never responds, blocking
+    `jax.devices()` inside C code where no Python-level timeout can
+    interrupt it. A hung in-process init also holds the tunnel, which can
+    block later attempts even after the backend recovers. Probing in a
+    child process bounds both modes: the child either prints a device
+    count (backend up) or is killed at `timeout_s`.
+    """
+    import subprocess
+    import sys
+
+    # the sitecustomize force-registers the TPU platform even under
+    # JAX_PLATFORMS=cpu (CLAUDE.md): pin via jax.config before first use so
+    # the probe targets the SAME platform the parent will init
+    code = ("import os, jax\n"
+            "p = os.environ.get('JAX_PLATFORMS')\n"
+            "if p: jax.config.update('jax_platforms', p)\n"
+            "print(len(jax.devices()))\n")
+    try:
+        res = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, timeout=timeout_s)
+        return res.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def wait_for_backend(max_wait_s: float | None = None, poll_s: float = 20.0):
-    """Block until the default JAX backend initializes, retrying UNAVAILABLE.
+    """Block until the default JAX backend initializes, riding out outages.
 
     The remote TPU tunnel goes down for minutes at a time (multi-hour
-    outages observed); a bench/serving process that dies on its first
-    `jax.devices()` turns a transient outage into a lost measurement.
-    Retries init — clearing the cached failure between attempts — until the
-    backend is up or the budget (`FREQFUSION_BACKEND_WAIT` seconds, default
-    900) runs out, then re-raises the last error. Returns the device list.
+    outages observed); a bench/serving process that dies — or hangs — on
+    its first `jax.devices()` turns a transient outage into a lost
+    measurement. For remote platforms this probes liveness in bounded
+    subprocesses (see `_backend_probe_ok`) and only touches the in-process
+    backend once a probe succeeds; on CPU it calls `jax.devices()`
+    directly. Budget: `FREQFUSION_BACKEND_WAIT` seconds (default 1800),
+    then raises. Returns the device list.
     """
     import sys
     import time
@@ -61,25 +107,42 @@ def wait_for_backend(max_wait_s: float | None = None, poll_s: float = 20.0):
         # would otherwise die with no measurement
         max_wait_s = float(os.environ.get("FREQFUSION_BACKEND_WAIT", "1800"))
     deadline = time.monotonic() + max_wait_s
+
+    remote = _is_remote_platform()
+    probe_timeout = float(os.environ.get("FREQFUSION_PROBE_TIMEOUT", "120"))
+
     attempt = 0
     while True:
         attempt += 1
-        try:
-            return jax.devices()
-        except RuntimeError as e:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                raise
-            msg = str(e).splitlines()[0]
-            print(f"# backend unavailable (attempt {attempt}: {msg}); "
-                  f"retrying in {poll_s:.0f}s ({remaining:.0f}s left)",
-                  file=sys.stderr, flush=True)
-            try:  # a failed init is cached; drop it so the retry re-inits
-                from jax.extend.backend import clear_backends
-                clear_backends()
-            except Exception:
-                pass
-            time.sleep(min(poll_s, remaining))
+        remaining = deadline - time.monotonic()
+        if remote:
+            # never let the first in-process init be the probe: a hang
+            # there is unrecoverable (C-level block, tunnel held open)
+            if _backend_probe_ok(min(probe_timeout, max(remaining, 5.0))):
+                return jax.devices()
+            err = None
+        else:
+            try:
+                return jax.devices()
+            except RuntimeError as e:
+                err = e
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            if err is not None:
+                raise err
+            raise RuntimeError(
+                f"backend probe failed for {max_wait_s:.0f}s "
+                f"({attempt} attempts); giving up")
+        msg = str(err).splitlines()[0] if err else "probe timeout/error"
+        print(f"# backend unavailable (attempt {attempt}: {msg}); "
+              f"retrying in {poll_s:.0f}s ({remaining:.0f}s left)",
+              file=sys.stderr, flush=True)
+        try:  # a failed init is cached; drop it so the retry re-inits
+            from jax.extend.backend import clear_backends
+            clear_backends()
+        except Exception:
+            pass
+        time.sleep(min(poll_s, remaining))
 
 
 def fast_random_variables(model, *example_args, seed: int = 0):

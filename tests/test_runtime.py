@@ -47,3 +47,52 @@ def test_wait_for_backend_times_out(monkeypatch):
 def test_wait_for_backend_immediate_success():
     devs = runtime.wait_for_backend(max_wait_s=1.0)
     assert len(devs) >= 1
+
+
+def test_remote_path_probes_in_subprocess(monkeypatch):
+    """On a remote platform the FIRST backend touch must be the bounded
+    subprocess probe, never the in-process jax.devices(): the r3 outage
+    mode hangs init inside C code where no Python timeout can reach it."""
+    import jax
+
+    probes = {"n": 0}
+
+    def fake_probe(timeout_s):
+        probes["n"] += 1
+        return probes["n"] >= 3  # two failed probes, then backend up
+
+    order = []
+    real_devices = jax.devices
+
+    def tracked_devices(*a, **k):
+        order.append("devices")
+        return real_devices(*a, **k)
+
+    monkeypatch.setattr(runtime, "_is_remote_platform", lambda: True)
+    monkeypatch.setattr(runtime, "_backend_probe_ok", fake_probe)
+    monkeypatch.setattr(jax, "devices", tracked_devices)
+    devs = runtime.wait_for_backend(max_wait_s=30.0, poll_s=0.01)
+    assert probes["n"] == 3
+    assert order == ["devices"]  # in-process init only after a good probe
+    assert len(devs) >= 1
+
+
+def test_remote_path_times_out_without_hanging(monkeypatch):
+    monkeypatch.setattr(runtime, "_is_remote_platform", lambda: True)
+    monkeypatch.setattr(runtime, "_backend_probe_ok", lambda t: False)
+    with pytest.raises(RuntimeError, match="probe failed"):
+        runtime.wait_for_backend(max_wait_s=0.05, poll_s=0.01)
+
+
+def test_backend_probe_subprocess_real():
+    """The real probe subprocess comes up against the CPU platform."""
+    import os
+    env_before = os.environ.get("JAX_PLATFORMS")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        assert runtime._backend_probe_ok(timeout_s=120.0)
+    finally:
+        if env_before is None:
+            os.environ.pop("JAX_PLATFORMS", None)
+        else:
+            os.environ["JAX_PLATFORMS"] = env_before
