@@ -273,6 +273,10 @@ class InferencePipeline:
                 f"{self.WHOLE_IMAGE_MAX_PX})")
             return None
         if hp - h >= h or wp - w >= w:   # reflect pad needs pad < size
+            self._cliff_warn(
+                ("pad", hp, wp),
+                f"whole-image fallback → tiled: {w}x{h} is smaller than its "
+                f"reflect padding to the {wp}x{hp} bucket")
             return None
         cache = getattr(self, "_whole_shapes", None)
         if cache is None:
@@ -290,16 +294,21 @@ class InferencePipeline:
         return hp, wp
 
     def run_image(self, lr: np.ndarray) -> np.ndarray:
-        plan = self._whole_image_plan(lr.shape[0], lr.shape[1])
+        # A SINGLE image on a >1-device mesh takes the tiled path: its tile
+        # batches shard real work across devices, while a whole-image
+        # dispatch would have to replicate the one image mesh-wide and
+        # throw away all but result [0]. Mesh-wide whole-image serving is
+        # the BATCH protocol (dispatch_batch_u8), where every device gets
+        # its own image.
+        on_mesh = self.mesh is not None and self.mesh.devices.size > 1
+        plan = None if on_mesh else \
+            self._whole_image_plan(lr.shape[0], lr.shape[1])
         if plan is not None:
             hp, wp = plan
             h, w, _ = lr.shape
             lrp = np.pad(lr, [(0, hp - h), (0, wp - w), (0, 0)],
                          mode="reflect")
-            batch = lrp[None]
-            if self.mesh is not None:  # data-sharded fwd needs a full batch
-                batch = np.repeat(batch, self.mesh.devices.size, axis=0)
-            sr = np.asarray(self.forward_batch(batch))[0]
+            sr = np.asarray(self.forward_batch(lrp[None]))[0]
             s = self.model.cfg.upscale
             return sr[: h * s, : w * s]
         return tiled_sr(lr, self.forward_batch, self.tile, self.overlap,

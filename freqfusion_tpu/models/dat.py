@@ -30,7 +30,7 @@ import numpy as np
 
 from ..ops import windows as W
 from ..ops.common import pixel_shuffle
-from .hat import _DenseParams, _LNParams, apply_ln
+from .layers import _DenseParams, _LNParams, apply_ln
 from .nafnet import _ConvParams
 
 RGB_MEAN = (0.4488, 0.4371, 0.4040)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize
-from .hat import _LNParams, apply_ln
+from .layers import _LNParams, apply_ln
 from .layers import BatchNorm2d, TorchMHA, gelu
 
 

@@ -308,7 +308,11 @@ class NativeCLIPIQA:
         self.vparams = vparams
 
         def _score(v, tf, x):
-            x = jnp.clip(resize(x, 224, 224, "bicubic"), 0.0, 1.0)
+            # x arrives already resized to [B,224,224,3]: keeping the
+            # shape-dependent resize OUT of this jit means the CLIP tower
+            # compiles exactly once per run instead of once per distinct
+            # input image shape (a DIV2K-like directory has ~one shape per
+            # image; each tower compile is tens of seconds on CPU)
             x = (x - jnp.asarray(CLIP_MEAN, x.dtype)) \
                 / jnp.asarray(CLIP_STD, x.dtype)
             f = self.vision.apply(v, x)
@@ -320,4 +324,5 @@ class NativeCLIPIQA:
 
     def __call__(self, output: np.ndarray, target=None) -> float:
         x = jnp.asarray(np.asarray(output, np.float32)[None] / 255.0)
+        x = jnp.clip(resize(x, 224, 224, "bicubic"), 0.0, 1.0)  # eager
         return float(self._fn(self.vparams, self.tfeat, x)[0])

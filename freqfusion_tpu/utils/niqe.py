@@ -115,9 +115,16 @@ def _to_gray(img: np.ndarray) -> np.ndarray:
 
 
 def niqe_features(img: np.ndarray, patch: int = 96,
-                  sharpness_frac: float = 0.75) -> Optional[np.ndarray]:
-    """Image (HWC uint8/float or gray) → [n_patches, 36] feature rows of the
-    sharpness-selected patches, or None when the image is too small."""
+                  sharpness_frac: Optional[float] = None
+                  ) -> Optional[np.ndarray]:
+    """Image (HWC uint8/float or gray) → [n_patches, 36] feature rows, or
+    None when the image is too small.
+
+    `sharpness_frac` keeps only patches with local σ ≥ frac·max — the
+    published pipeline applies this ONLY when fitting the pristine model
+    (the paper's patch selection step); test images are scored on ALL
+    patches, else blurred regions (the main NIQE signal) would be dropped
+    and distorted images scored optimistically."""
     gray = _to_gray(img)
     h, w = gray.shape
     ny, nx = h // patch, w // patch
@@ -130,12 +137,15 @@ def niqe_features(img: np.ndarray, patch: int = 96,
             gray[0::2, 1::2] + gray[1::2, 1::2]) / 4.0
     m2, _ = mscn(half)
 
-    sharp = np.zeros((ny, nx))
-    for i in range(ny):
-        for j in range(nx):
-            sharp[i, j] = sig1[i * patch:(i + 1) * patch,
-                               j * patch:(j + 1) * patch].mean()
-    keep = sharp >= sharpness_frac * sharp.max()
+    if sharpness_frac is None:
+        keep = np.ones((ny, nx), bool)
+    else:
+        sharp = np.zeros((ny, nx))
+        for i in range(ny):
+            for j in range(nx):
+                sharp[i, j] = sig1[i * patch:(i + 1) * patch,
+                                   j * patch:(j + 1) * patch].mean()
+        keep = sharp >= sharpness_frac * sharp.max()
 
     p2 = patch // 2
     rows = []
@@ -161,10 +171,13 @@ def fit_mvg(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mu, np.atleast_2d(cov)
 
 
-def fit_pristine(images: Sequence[np.ndarray], patch: int = 96):
-    """Corpus of clean images → pristine (mu, cov) model."""
+def fit_pristine(images: Sequence[np.ndarray], patch: int = 96,
+                 sharpness_frac: float = 0.75):
+    """Corpus of clean images → pristine (mu, cov) model (with the paper's
+    sharpness-based patch selection, training-side only)."""
     rows = [r for img in images
-            for r in (niqe_features(img, patch),) if r is not None]
+            for r in (niqe_features(img, patch, sharpness_frac),)
+            if r is not None]
     if not rows:
         raise ValueError("no image in the corpus is large enough for NIQE "
                          f"(needs >= {patch}x{patch})")

@@ -80,6 +80,15 @@ def _backend_probe_ok(timeout_s: float) -> bool:
     try:
         res = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, timeout=timeout_s)
+        if res.returncode != 0:
+            # surface the child's actual failure (last traceback line):
+            # a permanent error (broken install, bad platform value) looks
+            # identical to an outage otherwise and burns the whole budget
+            # with no diagnostic
+            tail = res.stderr.decode(errors="replace").strip().splitlines()
+            print(f"# backend probe: {tail[-1] if tail else 'exit '}"
+                  f"{'' if tail else res.returncode}",
+                  file=sys.stderr, flush=True)
         return res.returncode == 0
     except subprocess.TimeoutExpired:
         return False

@@ -57,6 +57,16 @@ def test_sharded_whole_image_u8_batch():
         expert_kwargs=TINY, n_devices=4)
     assert pipe.mesh is not None and pipe.u8_group_max == 4
 
+    # the f32 whole-image reference comes from a SINGLE-chip pipeline with
+    # identical (seeded) weights: on a mesh, run_image deliberately tiles a
+    # lone image (sharding real tiles beats replicating one image), so it
+    # is no longer the whole-image reference path
+    ref_pipe = InferencePipeline(
+        model_dir="", tile=16, overlap=4, tile_batch=1,
+        fusion_config=FusionConfig(fusion_dim=16, num_heads=2, refine_depth=2,
+                                   refine_channels=8),
+        expert_kwargs=TINY, n_devices=1)
+
     rng = np.random.default_rng(1)
     lrs = [rng.uniform(size=(40 + 2 * i, 56, 3)).astype(np.float32)
            for i in range(3)]  # same 64x64-px bucket, ragged batch of 3
@@ -67,7 +77,7 @@ def test_sharded_whole_image_u8_batch():
     for lr, u8 in zip(lrs, outs):
         assert u8.shape == (lr.shape[0] * 4, lr.shape[1] * 4, 3)
         assert u8.dtype == np.uint8
-        ref = np.round(np.clip(pipe.run_image(lr), 0.0, 1.0) * 255.0)
+        ref = np.round(np.clip(ref_pipe.run_image(lr), 0.0, 1.0) * 255.0)
         assert np.abs(ref - u8.astype(np.float64)).max() <= 1.0
 
 
