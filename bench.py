@@ -60,8 +60,12 @@ LR_W = int(os.environ.get("FREQFUSION_BENCH_LR_W", "510"))
 # FREQFUSION_BENCH_HETERO=1: stream 3 distinct shape buckets instead of one
 # image — measures the serving loop's real behavior on a ragged directory
 # (per-bucket programs, pipelining across shape changes). 3× the compiles.
+# Sizes scale with the LR override so the path is CPU-drivable at toy dims
+# (defaults reproduce the DIV2K-class triple 339×510 / 300×450 / 270×400).
 HETERO = os.environ.get("FREQFUSION_BENCH_HETERO", "0") == "1"
-HETERO_SIZES = ((339, 510), (300, 450), (270, 400))  # → 3 distinct buckets
+HETERO_SIZES = ((LR_H, LR_W),
+                (int(LR_H * 0.885), int(LR_W * 0.882)),
+                (int(LR_H * 0.797), int(LR_W * 0.784)))
 # images per whole-image dispatch (the serving loop batches same-bucket
 # images; >1 trades latency for occupancy/dispatch amortization)
 WHOLE_BATCH = int(os.environ.get("FREQFUSION_WHOLE_BATCH", "1"))
