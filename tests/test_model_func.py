@@ -108,6 +108,41 @@ def test_whole_image_cliff_warns():
     assert any("shape cache full" in str(r.message) for r in rec)
 
 
+def test_mesh_run_image_tiles_single_image(monkeypatch):
+    """A lone image on a >1-device mesh takes the TILED path (shards real
+    tiles) rather than replicating one image mesh-wide and keeping 1/N of
+    the work; the whole-image protocol on a mesh is batch-only."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 (virtual) devices")
+
+    pipe = InferencePipeline(
+        model_dir="", tile=16, overlap=4, tile_batch=4,
+        fusion_config=FusionConfig(fusion_dim=16, num_heads=2, refine_depth=2,
+                                   refine_channels=8),
+        expert_kwargs=TINY, n_devices=4)
+    assert pipe.mesh is not None
+
+    calls = {"tiled": 0}
+    from freqfusion_tpu.infer import io as io_mod
+    real_tiled = io_mod.tiled_sr
+
+    def counting_tiled(*a, **k):
+        calls["tiled"] += 1
+        return real_tiled(*a, **k)
+
+    monkeypatch.setattr(io_mod, "tiled_sr", counting_tiled)
+    rng = np.random.default_rng(2)
+    lr = rng.uniform(size=(40, 56, 3)).astype(np.float32)
+    sr = pipe.run_image(lr)
+    assert calls["tiled"] == 1
+    assert sr.shape == (160, 224, 3)
+    # and no whole-image shape-cache entry was committed for it
+    assert not getattr(pipe, "_whole_shapes", set())
+
+
 def test_fast_random_variables_finite():
     """Shape-only random fill (bench/entry fast init) must produce a finite
     forward — guards the name-based fill rules (BN running_var etc.)."""
