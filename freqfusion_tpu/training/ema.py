@@ -4,14 +4,22 @@ serializable state."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 
 def ema_init(params):
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    # jnp.asarray would ALIAS the param buffers — the donating ema_update
+    # below would then invalidate the live params on its first call
+    return jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True), params)
 
 
+# one fused program instead of 3 eager ops per leaf (each eager op is a
+# separate dispatch on the remote TPU backend — PERF.md: ~29 ms each); the
+# old shadow is dead after the update, so its buffers are donated
+@functools.partial(jax.jit, donate_argnums=0)
 def ema_update(shadow, params, decay: float = 0.9995):
     return jax.tree_util.tree_map(
         lambda s, p: s * decay + p * (1.0 - decay), shadow, params)

@@ -105,12 +105,21 @@ def init_live_train_state(model, tx, rng, sample_batch) -> TrainState:
 
 
 def make_live_train_step(model, criterion: CombinedLoss, tx):
-    """Train step for live mode (frozen experts inside the jitted program;
-    stop_gradient keeps their grads exactly zero, and AdamW with zero grads
-    and zero weight-decay... note: weight decay WOULD decay frozen experts,
-    so expert grads are masked out of the update entirely)."""
+    """Train step for live mode (frozen experts inside the jitted program).
 
-    def loss_fn(params, batch_stats, batch, rng):
+    Differentiates ONLY w.r.t. the non-expert subtree: the experts are
+    strictly upstream of every trainable param, so passing their ~100M
+    params as a non-differentiated argument prunes the entire expert
+    weight-cotangent computation out of the backward pass (the reference
+    gets the same effect from requires_grad=False,
+    expert_loader.py:371-377). Expert updates are still explicitly zeroed
+    so a plain (unmasked) AdamW's weight decay cannot touch frozen
+    weights (reference enhanced_fusion.py:137)."""
+
+    def loss_fn(train_params, expert_params, batch_stats, batch, rng):
+        params = dict(train_params)
+        if expert_params is not None:
+            params["experts"] = expert_params
         sr, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["lr"], True, True,
@@ -120,13 +129,17 @@ def make_live_train_step(model, criterion: CombinedLoss, tx):
         return total, (components, updates["batch_stats"])
 
     def step(state: TrainState, batch, rng):
+        train_params = dict(state.params)
+        expert_params = train_params.pop("experts", None)
         (loss, (components, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
-        # zero expert updates explicitly (frozen, reference enhanced_fusion.py:137)
+            loss_fn, has_aux=True)(train_params, expert_params,
+                                   state.batch_stats, batch, rng)
+        # rebuild the full-tree grads the optimizer expects (zeros for the
+        # frozen subtree — optax.multi_transform/set_to_zero never reads them)
         grads = dict(grads)
-        if "experts" in grads:
+        if expert_params is not None:
             grads["experts"] = jax.tree_util.tree_map(
-                jnp.zeros_like, grads["experts"])
+                jnp.zeros_like, expert_params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         updates = dict(updates)
         if "experts" in updates:

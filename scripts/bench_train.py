@@ -92,12 +92,12 @@ def main():
         data = jax.device_put(data, dsh)
         drng = jax.device_put(jax.random.PRNGKey(1), repl)
         jitted = jax.jit(step_fn, in_shardings=(repl, dsh, repl),
-                         out_shardings=(repl, repl))
+                         out_shardings=(repl, repl), donate_argnums=0)
     else:
         state = jax.device_put(state)
         data = jax.device_put(data)
         drng = jax.random.PRNGKey(1)
-        jitted = jax.jit(step_fn)
+        jitted = jax.jit(step_fn, donate_argnums=0)
 
     t0 = time.time()
     state, metrics = jitted(state, data, drng)

@@ -133,6 +133,69 @@ def test_train_step_sharded_on_mesh():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_live_train_step_matches_full_diff():
+    """The production live step differentiates only the non-expert subtree
+    (the experts are upstream of every trainable param, so their weight
+    cotangents are pure waste). It must be numerically identical to a
+    naive twin that differentiates the FULL tree and zeroes expert grads."""
+    import optax
+    from freqfusion_tpu.models.experts import FreqFusionSR
+    from freqfusion_tpu.training.steps import (
+        TrainState, init_live_train_state, make_live_train_step)
+
+    tiny = dict(
+        hat_kwargs=dict(embed_dim=24, depths=(1,), num_heads=(2,), window=4,
+                        squeeze=6),
+        dat_kwargs=dict(embed_dim=32, depths=(1,), num_heads=(2,),
+                        split_size=(2, 4), expansion=2.0),
+        nafnet_kwargs=dict(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+                           dec_blk_nums=(1, 1)))
+    model = FreqFusionSR(FusionConfig(fusion_dim=16, num_heads=2,
+                                      refine_depth=2, refine_channels=8), **tiny)
+    criterion = CombinedLoss({"l1": 1.0, "charbonnier": 0, "l2": 0, "vgg": 0,
+                              "swt": 0.2, "fft": 0.05, "edge": 0, "ssim": 0})
+    tx = make_optimizer(lambda _: 1e-2)
+    rng = np.random.default_rng(1)
+    batch = {"lr": jnp.asarray(rng.uniform(size=(1, 8, 8, 3)), jnp.float32),
+             "hr": jnp.asarray(rng.uniform(size=(1, 32, 32, 3)), jnp.float32)}
+    state = init_live_train_state(model, tx, jax.random.PRNGKey(0), batch)
+
+    def full_diff_step(state, batch, drng):
+        def loss_fn(params, batch_stats):
+            sr, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["lr"], True, True,
+                rngs={"dropout": drng}, mutable=["batch_stats"])
+            sr = jnp.clip(sr, 0.0, 1.0)
+            total, components = criterion(sr, batch["hr"])
+            return total, (components, updates["batch_stats"])
+
+        (_, (components, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats)
+        grads = dict(grads)
+        grads["experts"] = jax.tree_util.tree_map(jnp.zeros_like,
+                                                  grads["experts"])
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        updates = dict(updates)
+        updates["experts"] = jax.tree_util.tree_map(jnp.zeros_like,
+                                                    updates["experts"])
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_stats, new_opt, state.step + 1), \
+            dict(components)
+
+    drng = jax.random.PRNGKey(1)
+    prod_state, prod_metrics = jax.jit(
+        make_live_train_step(model, criterion, tx))(state, batch, drng)
+    ref_state, ref_metrics = jax.jit(full_diff_step)(state, batch, drng)
+
+    np.testing.assert_allclose(float(prod_metrics["total"]),
+                               float(ref_metrics["total"]), rtol=1e-6)
+    for p, r in zip(jax.tree_util.tree_leaves(prod_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                   rtol=2e-6, atol=2e-7)
+
+
 def test_live_train_step_freezes_experts():
     from freqfusion_tpu.models.experts import FreqFusionSR
     from freqfusion_tpu.training.steps import (

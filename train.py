@@ -162,9 +162,12 @@ def train(cfg: dict):
             current_stage = stage_idx
             criterion.set_weights(stages.weights_for_epoch(epoch))
             log.info("loss " + stages.describe(epoch))
+            # donate the state (params+opt-state): the old buffers are dead
+            # after each step, so XLA aliases them instead of double-buffering
             train_step = jax.jit(make_train_step(model, criterion, tx),
                                  in_shardings=(repl, data_sh, repl),
-                                 out_shardings=(repl, repl))
+                                 out_shardings=(repl, repl),
+                                 donate_argnums=0)
 
         n_images = 0
         from freqfusion_tpu.data.cached import prefetch
@@ -368,9 +371,12 @@ def train_live(cfg: dict, log):
             current_stage = stage_idx
             criterion.set_weights(stages.weights_for_epoch(epoch))
             log.info("loss " + stages.describe(epoch))
+            # donation matters most here: the state carries the ~100M frozen
+            # expert params — without aliasing every step double-buffers them
             train_step = jax.jit(make_live_train_step(model, criterion, tx),
                                  in_shardings=(repl, data_sh, repl),
-                                 out_shardings=(repl, repl))
+                                 out_shardings=(repl, repl),
+                                 donate_argnums=0)
 
         n_images = 0
         for batch in prefetch(batch_iter(ds, epoch)):
