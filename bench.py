@@ -64,8 +64,8 @@ LR_W = int(os.environ.get("FREQFUSION_BENCH_LR_W", "510"))
 # (defaults reproduce the DIV2K-class triple 339×510 / 300×450 / 270×400).
 HETERO = os.environ.get("FREQFUSION_BENCH_HETERO", "0") == "1"
 HETERO_SIZES = ((LR_H, LR_W),
-                (int(LR_H * 0.885), int(LR_W * 0.882)),
-                (int(LR_H * 0.797), int(LR_W * 0.784)))
+                (round(LR_H * 0.885), round(LR_W * 0.882)),
+                (round(LR_H * 0.797), round(LR_W * 0.784)))
 # images per whole-image dispatch (the serving loop batches same-bucket
 # images; >1 trades latency for occupancy/dispatch amortization)
 WHOLE_BATCH = int(os.environ.get("FREQFUSION_WHOLE_BATCH", "1"))
@@ -88,7 +88,7 @@ def main():
 
     from freqfusion_tpu.models.experts import FreqFusionSR
     from freqfusion_tpu.models.fusion import FusionConfig
-    from freqfusion_tpu.infer.tiling import tiled_sr, num_tiles, whole_image_sr
+    from freqfusion_tpu.infer.tiling import tiled_sr, num_tiles
 
     kernels = dict(use_pallas=True) if USE_PALLAS else {}
     model = FreqFusionSR(FusionConfig(use_pallas=USE_PALLAS),

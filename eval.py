@@ -82,31 +82,12 @@ def _force_platform(platform: str) -> None:
 
 def _live_tower_metrics() -> dict:
     """Native flax tower metrics whose weight env vars are set (reference
-    eval.py:51-56 pyiqa metrics). A metric whose env var is unset is simply
-    absent; a metric whose weights are SET but broken warns loudly instead
-    of silently dropping its column."""
-    import warnings
+    eval.py:51-56 pyiqa metrics) — the shared load policy lives in
+    perceptual_metrics.load_native_towers (CONFIGURED-but-broken weights
+    warn loudly instead of silently dropping the column)."""
+    from freqfusion_tpu.utils.perceptual_metrics import load_native_towers
 
-    specs = (
-        ("lpips", "FREQFUSION_LPIPS_WEIGHTS",
-         "freqfusion_tpu.utils.lpips", "NativeLPIPS"),
-        ("dists", "FREQFUSION_DISTS_WEIGHTS",
-         "freqfusion_tpu.utils.dists", "NativeDISTS"),
-        ("clipiqa", "FREQFUSION_CLIPIQA_WEIGHTS",
-         "freqfusion_tpu.utils.clipiqa", "NativeCLIPIQA"),
-    )
-    metrics = {}
-    for name, env, mod, cls in specs:
-        configured = bool(os.environ.get(env))
-        try:
-            module = __import__(mod, fromlist=[cls])
-            metrics[name] = getattr(module, cls)()
-        except Exception as e:
-            if configured:
-                warnings.warn(f"{name} weights configured via {env} but the "
-                              f"metric failed to load ({e}); column will be "
-                              "NaN")
-    return metrics
+    return load_native_towers()
 
 
 def total_score(means: dict) -> float:
@@ -174,21 +155,20 @@ def main():
              args.border, pristine) for o, t in zip(outs, tgts)]
     towers = _live_tower_metrics()
     fr_cols = {k: [] for k in towers}
-    if towers:
-        # jitted towers run in the main process (one compile per shape);
-        # decode each pair once and feed both the numpy metrics and the
-        # tower metrics from the same arrays
-        rows = []
-        for out_path, tgt_path, border, prs in jobs:
-            out, tgt = _decode_pair(out_path, tgt_path)
-            rows.append(_pair_row(out_path, out, tgt, border, prs))
-            for k, fn in towers.items():
-                fr_cols[k].append(fn(out, tgt))
-    elif args.workers > 1 and len(jobs) > 1:
+    if args.workers > 1 and len(jobs) > 1:
+        # PSNR/SSIM/NIQE are pure numpy and dominate wall time — they shard
+        # over the pool even when jitted towers are live
         with ProcessPoolExecutor(args.workers) as pool:
             rows = list(pool.map(_one_pair, jobs))
     else:
         rows = [_one_pair(j) for j in jobs]
+    if towers:
+        # jitted towers run in the main process (one compile per shape);
+        # the second decode here is cheap next to the pooled numpy metrics
+        for out_path, tgt_path, _border, _prs in jobs:
+            out, tgt = _decode_pair(out_path, tgt_path)
+            for k, fn in towers.items():
+                fr_cols[k].append(fn(out, tgt))
 
     psnr_mean = float(np.mean([r[1] for r in rows if math.isfinite(r[1])]))
     ssim_mean = float(np.mean([r[2] for r in rows]))

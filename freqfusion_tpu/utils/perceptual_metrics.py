@@ -37,6 +37,34 @@ def _try_import(name):
         return False
 
 
+def load_native_towers() -> Dict[str, object]:
+    """The native flax metric towers whose weight env vars resolve, as
+    {column: callable(output, target=None) -> float}. Missing weights →
+    absent silently; CONFIGURED but broken weights → absent with a loud
+    warning (a silent NaN column hides the misconfiguration). Shared by
+    eval.py and PerceptualEvaluator so the CLI and the library evaluator
+    cannot drift on load policy."""
+    import os
+    import warnings
+
+    from .clipiqa import NativeCLIPIQA
+    from .dists import NativeDISTS
+    from .lpips import NativeLPIPS
+
+    specs = (("lpips", "FREQFUSION_LPIPS_WEIGHTS", NativeLPIPS),
+             ("dists", "FREQFUSION_DISTS_WEIGHTS", NativeDISTS),
+             ("clipiqa", "FREQFUSION_CLIPIQA_WEIGHTS", NativeCLIPIQA))
+    towers = {}
+    for name, env, maker in specs:
+        try:
+            towers[name] = maker()
+        except Exception as e:
+            if os.environ.get(env):
+                warnings.warn(f"{name} weights configured via {env} but "
+                              f"failed to load ({e}); column stays NaN")
+    return towers
+
+
 class PerceptualEvaluator:
     def __init__(self):
         self.lpips_available = _try_import("lpips")
@@ -51,38 +79,15 @@ class PerceptualEvaluator:
                 self._lpips = lpips.LPIPS(net="alex")
             except Exception:
                 self.lpips_available = False
-        def _load_native(env, maker, label):
-            """Missing weights → None silently; CONFIGURED but broken
-            weights → None with a loud warning (a silent NaN column hides
-            the misconfiguration)."""
-            import os
-            import warnings
-            try:
-                return maker()
-            except Exception as e:
-                if os.environ.get(env):
-                    warnings.warn(f"{label} weights configured via {env} "
-                                  f"but failed to load ({e}); column stays "
-                                  "NaN")
-                return None
-
+        # native flax towers (LPIPS / DISTS / CLIP-IQA), live when their
+        # FREQFUSION_*_WEIGHTS env vars point at the official checkpoints —
+        # shared load policy with eval.py (load_native_towers)
+        towers = load_native_towers()
         if self._lpips is None:
-            # native flax LPIPS('alex') — live when FREQFUSION_LPIPS_WEIGHTS
-            # points at a trunk+heads state dict (utils/lpips.py)
-            from .lpips import NativeLPIPS
-            self._native_lpips = _load_native(
-                "FREQFUSION_LPIPS_WEIGHTS", NativeLPIPS, "lpips")
+            self._native_lpips = towers.get("lpips")
             self.lpips_available = self._native_lpips is not None
-        # native flax DISTS — live when FREQFUSION_DISTS_WEIGHTS points at
-        # the official checkpoint (utils/dists.py)
-        from .dists import NativeDISTS
-        self._native_dists = _load_native(
-            "FREQFUSION_DISTS_WEIGHTS", NativeDISTS, "dists")
-        # native CLIP-IQA — live when FREQFUSION_CLIPIQA_WEIGHTS +
-        # FREQFUSION_CLIP_BPE point at the OpenAI CLIP ckpt/vocab
-        from .clipiqa import NativeCLIPIQA
-        self._native_clipiqa = _load_native(
-            "FREQFUSION_CLIPIQA_WEIGHTS", NativeCLIPIQA, "clipiqa")
+        self._native_dists = towers.get("dists")
+        self._native_clipiqa = towers.get("clipiqa")
 
     @property
     def available_metrics(self):

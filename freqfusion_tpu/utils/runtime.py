@@ -126,7 +126,11 @@ def wait_for_backend(max_wait_s: float | None = None, poll_s: float = 20.0):
         remaining = deadline - time.monotonic()
         if remote:
             # never let the first in-process init be the probe: a hang
-            # there is unrecoverable (C-level block, tunnel held open)
+            # there is unrecoverable (C-level block, tunnel held open).
+            # Residual risk: if the tunnel flaps in the probe→devices()
+            # window, this jax.devices() can still hang beyond the budget
+            # (no Python timeout reaches it) — accepted, since the probe
+            # shrinks the window from the whole outage to milliseconds.
             if _backend_probe_ok(min(probe_timeout, max(remaining, 5.0))):
                 return jax.devices()
             err = None
@@ -158,11 +162,11 @@ def fast_random_variables(model, *example_args, seed: int = 0):
     """Variables with init-free random values: `jax.eval_shape` the init
     (no FLOPs, no device work) and fill leaves host-side.
 
-    For benchmarks and compile checks only — weight VALUES don't affect
-    throughput or compilation, and skipping the real `model.init` forward
-    saves minutes of host CPU on the full ensemble. 1-D scale-like leaves
-    get ones, biases zeros, everything else N(0, 0.02); batch_stats vars
-    get ones so BN stays finite.
+    Skipping the real `model.init` forward saves minutes of host CPU on
+    the full ensemble (benches, compile checks, and the no-checkpoint
+    degraded serving mode). Rank ≤1 scale-like leaves get ones, biases
+    zeros, multi-dim projections fan-in-scaled normals, everything else
+    N(0, 0.02); batch_stats vars get ones so BN stays finite.
     """
     import jax
     import numpy as np
@@ -176,12 +180,25 @@ def fast_random_variables(model, *example_args, seed: int = 0):
         shape, dtype = leaf.shape, leaf.dtype
         # multiplicative/variance-like leaves must be ~1 regardless of rank
         # (a zero or negative BN running_var / temperature blows up the
-        # forward); means stay 0
+        # forward, and lax.scan param stacking gives logically-1D leaves
+        # leading stack dims); means stay 0
         if (name in ("scale", "gamma", "temperature") or name.endswith("var")
-                or name.endswith("_weight") or name.endswith("scale")):
+                or name.endswith("scale")):
             return np.ones(shape, dtype)
         if name.endswith("mean"):
             return np.zeros(shape, dtype)
+        # torch-layout projection matrices named `*_weight` (TorchMHA's
+        # in_proj_weight, mambair's x_proj_weight): fan-in random, NOT ones —
+        # an all-ones [C,3C] projection saturates the attention softmax, and
+        # this fill is also the production no-checkpoint degraded serving
+        # mode (infer/io.py), not just a bench shortcut. Scalar/vector
+        # `*_weight` leaves (residual_weight gates) stay ones.
+        if name.endswith("_weight"):
+            if len(shape) <= 1:
+                return np.ones(shape, dtype)
+            fan_in = max(int(shape[-2]), 1)  # contraction dim for x @ W
+            return (rng.standard_normal(shape) /
+                    np.sqrt(fan_in)).astype(dtype)
         if len(shape) <= 1:
             return np.ones(shape, dtype) if name == "weight" \
                 else np.zeros(shape, dtype)

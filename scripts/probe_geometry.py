@@ -13,6 +13,13 @@ import os
 import sys
 import time
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize force-registers the TPU platform even under
+    # JAX_PLATFORMS=cpu; the config override must land before first jax use
+    # (CLAUDE.md) — without it a CPU-intended probe grabs the TPU tunnel
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,13 +42,14 @@ def fence(out):
 
 
 def timeit(fn, *args, n=5):
+    f = jax.jit(fn)  # one PjitFunction: timed calls hit its trace cache
     t0 = time.time()
-    fence(jax.jit(fn)(*args))
+    fence(f(*args))
     compile_s = time.time() - t0
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        fence(jax.jit(fn)(*args))
+        fence(f(*args))
         ts.append(time.perf_counter() - t0)
     return compile_s, float(np.median(ts) * 1000)
 

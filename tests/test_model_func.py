@@ -163,6 +163,22 @@ def test_fast_random_variables_finite():
     out = np.asarray(model.apply(v, d))
     assert np.isfinite(out).all()
 
+    # multi-dim projection params named *_weight (torch-layout, e.g. the
+    # band-MHA in_proj_weight) must get a fan-in random init, not all-ones:
+    # this fill is also the production no-checkpoint degraded serving mode,
+    # and an all-ones [C,3C] projection saturates the attention softmax
+    import jax.tree_util as jtu
+    checked = 0
+    for path, leaf in jtu.tree_leaves_with_path(v):
+        name = str(path[-1].key if hasattr(path[-1], "key") else path[-1])
+        if name.endswith("_weight") and np.ndim(leaf) >= 2:
+            a = np.asarray(leaf)
+            assert a.std() > 0, f"{name} filled with a constant"
+            assert abs(a.mean()) < 0.1 and a.std() < 1.0, \
+                f"{name} scale off: mean {a.mean()}, std {a.std()}"
+            checked += 1
+    assert checked > 0, "no multi-dim *_weight leaf exercised the rule"
+
 
 def test_single_chip_u8_batch_pads_ragged(monkeypatch):
     """FREQFUSION_U8_BATCH>1 on one chip: ragged batches pad by repeat so
