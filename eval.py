@@ -8,15 +8,14 @@ writes `{parent}--{folder}.csv` + `.txt` in the reference's format
 
 The reference's perceptual suite (LPIPS, DISTS, NIQE, MUSIQ, MANIQA,
 CLIP-IQA via pyiqa, eval.py:48-133): NIQE is native (utils/niqe.py, fit
-from the target corpus); LPIPS, DISTS and CLIP-IQA have native flax
-towers (utils/lpips.py, utils/dists.py, utils/clipiqa.py) whose columns
-go live when FREQFUSION_LPIPS_WEIGHTS / FREQFUSION_DISTS_WEIGHTS /
-FREQFUSION_CLIPIQA_WEIGHTS(+FREQFUSION_CLIP_BPE) point at the official
-checkpoints. MUSIQ/MANIQA have no vendored source to rebuild against and
-their backbones can't be fetched in this zero-egress environment; those
-columns are emitted as NaN and excluded from the Total Score, whose
-formula is kept
-((1−LPIPS)+(1−DISTS)+CLIPIQA+MANIQA+MUSIQ/100+max(0,(10−NIQE)/10),
+from the target corpus); every other column has a native flax tower —
+LPIPS (utils/lpips.py), DISTS (utils/dists.py), CLIP-IQA
+(utils/clipiqa.py), MUSIQ (utils/musiq.py), MANIQA (utils/maniqa.py) —
+that goes live when its FREQFUSION_*_WEIGHTS env var points at a
+checkpoint (weights can't be fetched in this zero-egress environment;
+unconfigured columns are emitted as NaN and excluded from the Total
+Score, whose formula is kept:
+(1−LPIPS)+(1−DISTS)+CLIPIQA+MANIQA+MUSIQ/100+max(0,(10−NIQE)/10),
 eval.py:245-268).
 
 Parallelism: the reference shards images over GPUs with multiprocessing

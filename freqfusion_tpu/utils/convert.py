@@ -58,6 +58,9 @@ def _adapt(torch_arr: np.ndarray, flax_shape: Tuple[int, ...],
                     or leaf.endswith("_kernel"))
     if a.ndim == 4 and len(flax_shape) == 4 and transposable:
         a = np.transpose(a, (2, 3, 1, 0))  # OIHW → HWIO
+    elif (a.ndim == 4 and a.shape[2:] == (1, 1) and len(flax_shape) == 2
+          and transposable and a.shape[:2] == flax_shape[::-1]):
+        a = a[:, :, 0, 0].T  # 1x1 conv OI11 → Dense IO
     elif (a.ndim == 2 and len(flax_shape) == 2 and transposable
           and a.shape == flax_shape[::-1]):
         a = a.T  # linear OI → IO

@@ -14,9 +14,11 @@ ground-truth images, to activate the column). Native flax towers whose
 columns go live the moment public weights land (zero-egress here):
 LPIPS (utils/lpips.py, FREQFUSION_LPIPS_WEIGHTS), DISTS (utils/dists.py,
 FREQFUSION_DISTS_WEIGHTS), CLIP-IQA (utils/clipiqa.py,
-FREQFUSION_CLIPIQA_WEIGHTS + FREQFUSION_CLIP_BPE). MUSIQ/MANIQA remain
-pyiqa-gated NaN columns — no vendored source exists to rebuild them
-against, and their pretrained backbones can't be fetched.
+FREQFUSION_CLIPIQA_WEIGHTS + FREQFUSION_CLIP_BPE), MUSIQ (utils/musiq.py,
+FREQFUSION_MUSIQ_WEIGHTS) and MANIQA (utils/maniqa.py,
+FREQFUSION_MANIQA_WEIGHTS) — all six reference columns have native
+towers; each module docstring documents its rebuilt-from-publication
+layout and deviations.
 """
 
 from __future__ import annotations
@@ -50,10 +52,14 @@ def load_native_towers() -> Dict[str, object]:
     from .clipiqa import NativeCLIPIQA
     from .dists import NativeDISTS
     from .lpips import NativeLPIPS
+    from .maniqa import NativeMANIQA
+    from .musiq import NativeMUSIQ
 
     specs = (("lpips", "FREQFUSION_LPIPS_WEIGHTS", NativeLPIPS),
              ("dists", "FREQFUSION_DISTS_WEIGHTS", NativeDISTS),
-             ("clipiqa", "FREQFUSION_CLIPIQA_WEIGHTS", NativeCLIPIQA))
+             ("clipiqa", "FREQFUSION_CLIPIQA_WEIGHTS", NativeCLIPIQA),
+             ("musiq", "FREQFUSION_MUSIQ_WEIGHTS", NativeMUSIQ),
+             ("maniqa", "FREQFUSION_MANIQA_WEIGHTS", NativeMANIQA))
     towers = {}
     for name, env, maker in specs:
         try:
@@ -88,6 +94,8 @@ class PerceptualEvaluator:
             self.lpips_available = self._native_lpips is not None
         self._native_dists = towers.get("dists")
         self._native_clipiqa = towers.get("clipiqa")
+        self._native_musiq = towers.get("musiq")
+        self._native_maniqa = towers.get("maniqa")
 
     @property
     def available_metrics(self):
@@ -100,6 +108,10 @@ class PerceptualEvaluator:
             out.append("dists")
         if self._native_clipiqa is not None:
             out.append("clipiqa")
+        if self._native_musiq is not None:
+            out.append("musiq")
+        if self._native_maniqa is not None:
+            out.append("maniqa")
         if self.pyiqa_available:
             out += [m for m in ("dists", "musiq", "maniqa", "clipiqa", "niqe")
                     if m not in out]
@@ -144,6 +156,10 @@ class PerceptualEvaluator:
             res["dists"] = self._native_dists(output, target)
         if self._native_clipiqa is not None:
             res["clipiqa"] = self._native_clipiqa(output)
+        if self._native_musiq is not None:
+            res["musiq"] = self._native_musiq(output)
+        if self._native_maniqa is not None:
+            res["maniqa"] = self._native_maniqa(output)
         return res
 
     @staticmethod

@@ -42,7 +42,10 @@ def main():
     from freqfusion_tpu.models.experts import ExpertEnsemble
     from freqfusion_tpu.infer.io import _load_expert_params
     from freqfusion_tpu.utils.imageio import load_image
-    from freqfusion_tpu.utils.runtime import enable_compilation_cache, host_device, runtime_overrides
+    from freqfusion_tpu.utils.runtime import (enable_compilation_cache,
+                                              fast_random_variables,
+                                              runtime_overrides,
+                                              wait_for_backend)
 
     enable_compilation_cache()
     os.makedirs(args.out, exist_ok=True)
@@ -54,10 +57,13 @@ def main():
     expert_kwargs = runtime_overrides().get("model", {}).get("expert_kwargs") or {}
     model = ExpertEnsemble(**expert_kwargs)
     dummy = jnp.zeros((args.batch, args.patch, args.patch, 3))
-    with jax.default_device(host_device()):
-        variables = model.init(jax.random.PRNGKey(0), dummy)
+    wait_for_backend()
+    # shape-only init (~20 s vs 15-39 min of real host init — every loaded
+    # leaf is overwritten by the checkpoints below anyway)
+    variables = fast_random_variables(model, dummy)
     variables = jax.tree_util.tree_map(np.asarray, variables)
-    variables = _load_expert_params(variables, args.model_dir)
+    # bare-ensemble tree: {hat,dat,nafnet} at the top of params (root=None)
+    variables = _load_expert_params(variables, args.model_dir, root=None)
     variables = jax.device_put(jax.tree_util.tree_map(jnp.asarray, variables))
     fwd = jax.jit(lambda v, x: model.apply(v, x))
 

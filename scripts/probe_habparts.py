@@ -38,7 +38,10 @@ def _chained(fn, chain):
     def chained(*a):
         tot = jnp.float32(0.0)
         for i in range(chain):
-            scale = jnp.asarray(1.0 + 1e-6 * i, a[0].dtype)
+            # anti-CSE scale must survive the dtype: 1+1e-6 rounds to
+            # exactly 1.0 in bf16 and XLA folds x*1 → x, collapsing the
+            # whole chain to one call (measured: negative per-call times)
+            scale = jnp.asarray(1.0 + i / 64.0, a[0].dtype)
             out = fn(a[0] * scale, *a[1:])
             first = out[0] if isinstance(out, tuple) else out
             tot = tot + jnp.sum(first.astype(jnp.float32))

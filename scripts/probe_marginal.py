@@ -7,6 +7,7 @@ Usage: python scripts/probe_marginal.py [dtype] [probe ...]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -16,7 +17,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from freqfusion_tpu.models.hat import CAB, HAB, OCAB, Mlp, WindowAttention  # noqa: E402
+from freqfusion_tpu.models.hat import (CAB, HAB, OCAB, RHAG, Mlp,  # noqa: E402
+                                       WindowAttention)
 
 
 def time_once(fn, *args, iters=5):
@@ -31,10 +33,15 @@ def time_once(fn, *args, iters=5):
     return float(np.median(ts) * 1000)
 
 
-def marginal(make_module, x, n1=2, n2=6, train_sig=False):
-    """Stack k distinct-param copies; return per-copy marginal ms."""
+def marginal(make_module, x, n1=2, n2=6, train_sig=False, init_x=None):
+    """Stack k distinct-param copies; return per-copy marginal ms.
+
+    `init_x` (default x) may be a smaller shape: params here are
+    H/W-independent, and init at the bench shape compiles a full forward
+    per copy."""
     m = make_module()
-    plist = [m.init(jax.random.PRNGKey(i), x) for i in range(n2)]
+    plist = [m.init(jax.random.PRNGKey(i), init_x if init_x is not None
+                    else x) for i in range(n2)]
     plist = jax.tree_util.tree_map(lambda a: a.astype(x.dtype), plist)
 
     def run(k):
@@ -58,8 +65,13 @@ def report(name, per, t1, t2):
 def main():
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bfloat16"
     which = set(sys.argv[2:])
-    c, heads, window, hw, b = 180, 6, 16, 192, 2
-    x = (jax.random.normal(jax.random.PRNGKey(9), (b, hw, hw, c)) * 0.2).astype(dtype)
+    c, heads, window = 180, 6, 16
+    # default 192² b2 (the r2 table's shape); PROBE_H/W/B target the
+    # whole-image bench shape (1,352,512)
+    b = int(os.environ.get("PROBE_B", "2"))
+    hh = int(os.environ.get("PROBE_H", "192"))
+    ww = int(os.environ.get("PROBE_W", "192"))
+    x = (jax.random.normal(jax.random.PRNGKey(9), (b, hh, ww, c)) * 0.2).astype(dtype)
     print(json.dumps({"devices": [str(d) for d in jax.devices()],
                       "dtype": dtype}), flush=True)
 
@@ -76,6 +88,13 @@ def main():
         "ocab": lambda: OCAB(c, window, 0.5, heads, 2.0),
         "ocab_pallas": lambda: OCAB(c, window, 0.5, heads, 2.0,
                                     use_pallas=True),
+        # one full production RHAG (6 HABs scanned as 3 pairs + OCAB +
+        # conv + skip): HAT-L is 12 of these — accounts scan/glue costs
+        # the per-block probes can't see
+        "rhag_pallas": lambda: RHAG(c, 6, heads, window, 3, 30, 0.01,
+                                    0.5, 2.0, use_pallas=True),
+        "rhag_xla": lambda: RHAG(c, 6, heads, window, 3, 30, 0.01,
+                                 0.5, 2.0, use_pallas=False),
     }
 
     def _datb(spatial, shift=False, use_pallas=False):
@@ -100,11 +119,15 @@ def main():
         "nafblock_w128_half": (lambda: NAFBlock(128), xn2),
     }
 
+    init_x = jnp.zeros((1, 2 * window, 2 * window, c), x.dtype)
     for name, mk in probes.items():
         if which and name not in which:
             continue
         try:
-            per, t1, t2 = marginal(mk, x)
+            if name.startswith("rhag"):
+                per, t1, t2 = marginal(mk, x, n1=1, n2=3, init_x=init_x)
+            else:
+                per, t1, t2 = marginal(mk, x, init_x=init_x)
             report(f"{name}.{dtype}", per, t1, t2)
         except Exception as e:
             print(json.dumps({"probe": f"{name}.{dtype}",

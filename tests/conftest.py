@@ -28,6 +28,15 @@ jax.config.update("jax_default_matmul_precision", "highest")
 REFERENCE_DIR = "/root/reference"
 
 
+def pytest_configure(config):
+    # `slow` fast-lane split (VERDICT r3 #9): the full suite is tens of
+    # minutes on a loaded host; `-m "not slow"` keeps a lane that always
+    # gets run. Marked by measured duration (>60 s on this host).
+    config.addinivalue_line(
+        "markers", "slow: long-running test (full suite only; "
+        "deselect with -m 'not slow')")
+
+
 def has_reference() -> bool:
     return os.path.isdir(REFERENCE_DIR)
 

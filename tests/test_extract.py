@@ -7,6 +7,7 @@ and a fusion-head train step consumes the batch."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from freqfusion_tpu.data.cached import CachedFeatureDataset, batch_iterator
 from freqfusion_tpu.data.extract import extract_cached_features
@@ -64,3 +65,61 @@ def test_extract_then_train_roundtrip(tmp_path):
     step = jax.jit(make_train_step(fusion, criterion, tx))
     state, metrics = step(state, b, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_extractor_load_path_with_populated_model_dir(tmp_path):
+    """The script's checkpoint-load path on a BARE ensemble tree (r3 bug:
+    `_load_expert_params` indexed params['experts'] and crashed with
+    KeyError the moment a checkpoint existed under --model-dir). Builds a
+    synthetic torch nafnet checkpoint, loads it with root=None, and runs
+    the first forward — the exact sequence scripts/extract_features.py
+    performs."""
+    torch = pytest.importorskip("torch")
+    from freqfusion_tpu.infer.io import _load_expert_params
+    from freqfusion_tpu.utils import convert as cv
+    from freqfusion_tpu.utils.runtime import fast_random_variables
+
+    model = ExpertEnsemble(**TINY)
+    dummy = jnp.zeros((1, 8, 8, 3))
+    variables = jax.tree_util.tree_map(
+        np.asarray, fast_random_variables(model, dummy))
+
+    # synthesize a reference-format checkpoint from OUR nafnet tree: walk
+    # leaves with the converter key_fn and store torch-layout tensors
+    sd, probes = {}, []
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"]["nafnet"])[0]
+    for path, leaf in flat:
+        names = tuple(getattr(p, "key", getattr(p, "name", None)) for p in path)
+        lname = names[-1]
+        if lname == "kernel" and leaf.ndim == 4:
+            t = np.transpose(leaf + 1.0, (3, 2, 0, 1))
+        elif lname == "kernel" and leaf.ndim == 2:
+            t = (leaf + 1.0).T
+        elif lname == "bias":
+            t = leaf + 1.0
+        else:
+            continue
+        # fill_params sees paths relative to the expert subtree; the sd
+        # carries the reference NAFNetSR's "nafnet." backbone prefix, which
+        # the loader spec strips before filling
+        key = "nafnet." + cv.nafnet_key_fn(names)
+        sd[key] = torch.from_numpy(np.asarray(t, np.float32))
+        probes.append((names, leaf + 1.0))
+    assert probes, "no convertible nafnet leaves found"
+    ckpt_dir = tmp_path / "pretrained" / "nafnet"
+    ckpt_dir.mkdir(parents=True)
+    torch.save(sd, ckpt_dir / "net.pth")
+
+    with pytest.warns(UserWarning):  # hat/dat checkpoints absent → warn
+        loaded = _load_expert_params(variables, str(tmp_path), root=None)
+
+    # every synthesized leaf must have been pulled from the checkpoint
+    for names, want in probes:
+        got = loaded["params"]["nafnet"]
+        for n in names:
+            got = got[n]
+        np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=0,
+                                   err_msg=str(names))
+    # ...and the loaded tree must reach its first forward (script sequence)
+    out, feats = jax.jit(model.apply)(loaded, dummy)
+    assert out["nafnet"].shape == (1, 32, 32, 3)

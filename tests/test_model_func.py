@@ -192,7 +192,14 @@ def test_single_chip_u8_batch_pads_ragged(monkeypatch):
     assert pipe.u8_group_max == 2
     rng = np.random.default_rng(2)
     lr = rng.uniform(size=(40, 56, 3)).astype(np.float32)
-    outs = pipe.materialize_u8(pipe.dispatch_batch_u8([lr]))
+    import warnings as w
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        outs = pipe.materialize_u8(pipe.dispatch_batch_u8([lr]))
+        # the discarded-compute cliff warns ONCE per bucket (VERDICT r3 #6)
+        pipe.dispatch_batch_u8([lr])
     assert len(outs) == 1 and outs[0].shape == (160, 224, 3)
+    pad_warns = [r for r in rec if "ragged u8 batch" in str(r.message)]
+    assert len(pad_warns) == 1
     ref = np.round(np.clip(pipe.run_image(lr), 0.0, 1.0) * 255.0)
     assert np.abs(ref - outs[0].astype(np.float64)).max() <= 1.0
