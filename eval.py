@@ -59,10 +59,26 @@ def _pair_row(out_path, out, tgt, border, pristine):
     return os.path.basename(out_path), p, s, nq
 
 
+_WORKER_TOWERS = None  # per-process lazy tower cache (forked workers)
+
+
 def _one_pair(args):
-    out_path, tgt_path, border, pristine = args
+    """One decode per pair: numpy metrics AND live towers computed in the
+    same worker (VERDICT r3 #7 — the old shape re-decoded every pair in
+    the main process and ran towers serially after the pooled pass).
+    Towers build lazily once per worker process and their jits amortize
+    across that worker's share of the directory."""
+    out_path, tgt_path, border, pristine, with_towers = args
+    global _WORKER_TOWERS
     out, tgt = _decode_pair(out_path, tgt_path)
-    return _pair_row(out_path, out, tgt, border, pristine)
+    row = _pair_row(out_path, out, tgt, border, pristine)
+    tower_vals = {}
+    if with_towers:
+        if _WORKER_TOWERS is None:
+            _WORKER_TOWERS = _live_tower_metrics()
+        for k, fn in _WORKER_TOWERS.items():
+            tower_vals[k] = fn(out, tgt)
+    return row + (tower_vals,)
 
 
 def _force_platform(platform: str) -> None:
@@ -150,24 +166,27 @@ def main():
             except ValueError:
                 pristine = None  # images too small — column stays NaN
 
+    # which tower columns are live: a jax-free env probe — the parent must
+    # NOT build towers (= initialize XLA) before forking the pool, or the
+    # children inherit a live XLA runtime and deadlock. Loads (and any
+    # broken-checkpoint warnings) happen inside workers; a broken config
+    # surfaces as a warned NaN column either way.
+    from freqfusion_tpu.utils.perceptual_metrics import (
+        configured_tower_columns)
+    tower_cols = configured_tower_columns()
     jobs = [(os.path.join(args.output, o), os.path.join(args.target, t),
-             args.border, pristine) for o, t in zip(outs, tgts)]
-    towers = _live_tower_metrics()
-    fr_cols = {k: [] for k in towers}
+             args.border, pristine, bool(tower_cols))
+            for o, t in zip(outs, tgts)]
     if args.workers > 1 and len(jobs) > 1:
-        # PSNR/SSIM/NIQE are pure numpy and dominate wall time — they shard
-        # over the pool even when jitted towers are live
+        # everything — numpy metrics AND towers — shards over the pool,
+        # one decode per pair (reference eval.py:162-221 shards all
+        # metrics across workers the same way)
         with ProcessPoolExecutor(args.workers) as pool:
             rows = list(pool.map(_one_pair, jobs))
     else:
         rows = [_one_pair(j) for j in jobs]
-    if towers:
-        # jitted towers run in the main process (one compile per shape);
-        # the second decode here is cheap next to the pooled numpy metrics
-        for out_path, tgt_path, _border, _prs in jobs:
-            out, tgt = _decode_pair(out_path, tgt_path)
-            for k, fn in towers.items():
-                fr_cols[k].append(fn(out, tgt))
+    fr_cols = {k: [r[4].get(k, float("nan")) for r in rows]
+               for k in tower_cols}
 
     psnr_mean = float(np.mean([r[1] for r in rows if math.isfinite(r[1])]))
     ssim_mean = float(np.mean([r[2] for r in rows]))
@@ -188,7 +207,7 @@ def main():
     with open(stem + ".csv", "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["image", "psnr", "ssim", "niqe"] + live)
-        for i, (name, p, s, nq) in enumerate(rows):
+        for i, (name, p, s, nq, _tv) in enumerate(rows):
             w.writerow([name, f"{p:.4f}", f"{s:.5f}", f"{nq:.4f}"]
                        + [f"{fr_cols[k][i]:.5f}" for k in live])
         w.writerow(["MEAN", f"{psnr_mean:.4f}", f"{ssim_mean:.5f}",

@@ -146,7 +146,9 @@ class VSSBlock(nn.Module):
     def __call__(self, x):  # [B,H,W,C]
         s1 = self.param("skip_scale", nn.initializers.ones, (self.dim,))
         s2 = self.param("skip_scale2", nn.initializers.ones, (self.dim,))
-        h = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
+        # BasicLayer passes norm_layer=nn.LayerNorm explicitly (eps 1e-5),
+        # overriding VSSBlock's 1e-6 default (mambair_arch.py:459, 395)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         x = x * s1 + SS2D(self.dim, self.d_state, expand=self.expand,
                           name="self_attention")(h)
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
@@ -187,7 +189,9 @@ class MambaIR(nn.Module):
         x = (x - mean) * self.img_range
 
         x = nn.Conv(self.embed_dim, (3, 3), name="conv_first")(x)
-        feat = x
+        # patch_norm=True default: LN after the (no-op) patch embed
+        # (mambair_arch.py:529, 565)
+        feat = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
         for i, depth in enumerate(self.depths):
             feat = RSSG(self.embed_dim, depth, self.d_state, self.expand,
                         name=f"layers_{i}")(feat)

@@ -122,20 +122,23 @@ def _pad128(c: int) -> int:
     return -(-c // 128) * 128
 
 
-def _pick_bh(h: int, w: int, chans, budget_bytes: int = 16_000_000) -> int:
+def _pick_bh(h: int, w: int, chans, budget_bytes=None) -> int:
     """Largest divisor of h whose strip fits `budget_bytes`, counting one
     f32 row of `w` for every (lane-padded) channel width in `chans`.
 
     Default 16 MB: the r3 sweep at the whole-image bench shape measured
     1.249 MP/s/chip vs 1.199 at the old 8 MB default (+4.2%), with first
     pass +27 s compile (285 vs 258 s) — bigger strips amortize grid
-    overhead at wide shapes. FREQFUSION_STRIP_BUDGET_MB overrides in
-    either direction (the Mosaic VMEM limit is 100 MB; 32 MB risks the
-    known SGFN bh=4 compile blowup, PERF.md — measure both)."""
+    overhead at wide shapes. FREQFUSION_STRIP_BUDGET_MB replaces only the
+    DEFAULT, in either direction — a caller passing an explicit
+    budget_bytes (e.g. bandmha's deliberately smaller tuned 6 MB) is not
+    affected by cross-kernel sweeps (ADVICE r3). The Mosaic VMEM limit is
+    100 MB; 32 MB risks the known SGFN bh=4 compile blowup (PERF.md) —
+    measure both."""
     import os
-    env = os.environ.get("FREQFUSION_STRIP_BUDGET_MB")
-    if env:
-        budget_bytes = int(float(env) * 1_000_000)
+    if budget_bytes is None:
+        env = os.environ.get("FREQFUSION_STRIP_BUDGET_MB")
+        budget_bytes = int(float(env) * 1_000_000) if env else 16_000_000
     row = w * sum(_pad128(c) for c in chans) * 4
     target = max(1, budget_bytes // max(row, 1))
     bh = 1

@@ -438,6 +438,51 @@ def v2_key_fn(path: Tuple[str, ...]) -> str:
     return ".".join(toks + [_LEAF.get(leaf, leaf)])
 
 
+def mambair_key_fn(path: Tuple[str, ...]) -> str:
+    """Flax path → torch key for the MambaIR state dict (closes the last
+    expert converter hole, VERDICT r3 #8; reference layout verified at
+    mambair_arch.py:238-279 (SS2D), :404-410 (VSSBlock), :737-766
+    (ResidualGroup), :25-58 (CAB/ChannelAttention), :875 (Upsample)).
+
+    ('layers_0','blocks_1','self_attention','in_proj','kernel')
+      → 'layers.0.residual_group.blocks.1.self_attention.in_proj.weight'
+    ('layers_0','blocks_1','conv_blk','ca_fc1','kernel')
+      → '...conv_blk.cab.3.attention.1.weight'
+    ('patch_norm','scale') → 'patch_embed.norm.weight'
+    ('upsample_1','kernel') → 'upsample.2.weight'
+    """
+    _cab = {"conv1": "cab.0", "conv2": "cab.2",
+            "ca_fc1": "cab.3.attention.1", "ca_fc2": "cab.3.attention.3"}
+    parts = [p for p in path if p != "params"]
+    leaf = parts[-1]
+    toks = []
+    for i, p in enumerate(parts[:-1]):
+        base, idx = _split_idx(p)
+        nxt = parts[i + 1] if i + 1 < len(parts) - 1 else ""
+        if base == "layers":
+            toks.extend(["layers", str(idx)])
+            if nxt.startswith("blocks"):
+                toks.append("residual_group")
+        elif base == "blocks":
+            toks.extend(["blocks", str(idx)])
+        elif base == "upsample":
+            toks.extend(["upsample", str(2 * idx)])
+        elif p == "patch_norm":
+            toks.extend(["patch_embed", "norm"])
+        elif p == "conv_before_upsample":
+            toks.extend(["conv_before_upsample", "0"])
+        elif p in _cab:
+            toks.append(_cab[p])
+        else:
+            toks.append(p)
+    # SS2D merged parameters and VSSBlock skip scales keep their torch
+    # names verbatim
+    if leaf in ("x_proj_weight", "dt_projs_weight", "dt_projs_bias",
+                "A_logs", "Ds", "skip_scale", "skip_scale2"):
+        return ".".join(toks + [leaf])
+    return ".".join(toks + [_LEAF[leaf]])
+
+
 def hat_key_fn(path: Tuple[str, ...]):
     """Flax path → torch key (or Stacked spec) for the HAT state dict.
 

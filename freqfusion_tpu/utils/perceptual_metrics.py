@@ -39,6 +39,26 @@ def _try_import(name):
         return False
 
 
+# tower column → env vars that gate it (all must resolve to existing files)
+TOWER_ENV = {"lpips": ("FREQFUSION_LPIPS_WEIGHTS",),
+             "dists": ("FREQFUSION_DISTS_WEIGHTS",),
+             "clipiqa": ("FREQFUSION_CLIPIQA_WEIGHTS", "FREQFUSION_CLIP_BPE"),
+             "musiq": ("FREQFUSION_MUSIQ_WEIGHTS",),
+             "maniqa": ("FREQFUSION_MANIQA_WEIGHTS",)}
+
+
+def configured_tower_columns():
+    """Columns whose weight env vars resolve to existing files — a cheap
+    jax-free probe. eval.py uses this BEFORE forking its worker pool so
+    the parent never initializes XLA (forked children inheriting a live
+    XLA runtime deadlock); the actual loads (and any broken-checkpoint
+    warnings) happen inside the workers via load_native_towers."""
+    import os
+    return sorted(k for k, envs in TOWER_ENV.items()
+                  if all(os.environ.get(e) and os.path.exists(os.environ[e])
+                         for e in envs))
+
+
 def load_native_towers() -> Dict[str, object]:
     """The native flax metric towers whose weight env vars resolve, as
     {column: callable(output, target=None) -> float}. Missing weights →
@@ -55,13 +75,12 @@ def load_native_towers() -> Dict[str, object]:
     from .maniqa import NativeMANIQA
     from .musiq import NativeMUSIQ
 
-    specs = (("lpips", "FREQFUSION_LPIPS_WEIGHTS", NativeLPIPS),
-             ("dists", "FREQFUSION_DISTS_WEIGHTS", NativeDISTS),
-             ("clipiqa", "FREQFUSION_CLIPIQA_WEIGHTS", NativeCLIPIQA),
-             ("musiq", "FREQFUSION_MUSIQ_WEIGHTS", NativeMUSIQ),
-             ("maniqa", "FREQFUSION_MANIQA_WEIGHTS", NativeMANIQA))
+    makers = {"lpips": NativeLPIPS, "dists": NativeDISTS,
+              "clipiqa": NativeCLIPIQA, "musiq": NativeMUSIQ,
+              "maniqa": NativeMANIQA}
     towers = {}
-    for name, env, maker in specs:
+    for name, maker in makers.items():
+        env = TOWER_ENV[name][0]
         try:
             towers[name] = maker()
         except Exception as e:

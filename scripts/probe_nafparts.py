@@ -3,10 +3,13 @@
 
 NAFNet-SR upsamples bicubic x4 FIRST (nafnet/__init__.py:117-139 in the
 reference), so its UNet's top level runs at HR (4H x 4W x 64) — at the
-352x512 bench frame that's 1408x2048, where _pick_bh's 8 MB strip budget
-drops to bh=1 single-row strips (1408-program grids). This probes each
-level's block cost XLA-vs-Pallas and the strip-budget sensitivity, to see
-where NAFNet's ~437 ms (PERF.md r3 table) actually goes.
+352x512 bench frame that's 1408x2048, where _pick_bh's default strip
+budget (16 MB since r3's sweep; 8 MB before) picks bh=1 single-row strips
+(1408-program grids). This probes each level's block cost XLA-vs-Pallas
+and the strip-budget sensitivity, to see where NAFNet's ~437 ms (PERF.md
+r3 table) actually goes. The 'pallas' variant with env unset measures the
+16 MB default; sweep values set FREQFUSION_STRIP_BUDGET_MB per run (8
+reproduces the old baseline).
 
 Usage: python scripts/probe_nafparts.py [dtype] [probe ...]
 Env: PROBE_H/PROBE_W (default 352x512 -> HR 1408x2048), PROBE_B (1),

@@ -28,9 +28,10 @@ def _write_pairs(tmp_path, n=3):
 
 
 def test_pooled_rows_with_live_towers(tmp_path, monkeypatch):
-    """workers>1 AND a live tower: the numpy metrics shard over the pool,
-    the tower column is computed in-process, and the CSV rows stay aligned
-    (each tower value derives from ITS image, not a shuffled order)."""
+    """workers>1 AND a live tower: EVERYTHING — numpy metrics and towers —
+    shards over the pool with one decode per pair (VERDICT r3 #7), and the
+    CSV rows stay aligned (each tower value derives from ITS image, not a
+    shuffled order)."""
     out_dir, tgt_dir = _write_pairs(tmp_path)
 
     sys.path.insert(0, REPO)
@@ -44,6 +45,11 @@ def test_pooled_rows_with_live_towers(tmp_path, monkeypatch):
 
     import freqfusion_tpu.utils.perceptual_metrics as pm
     monkeypatch.setattr(pm, "load_native_towers", fake_towers)
+    # column discovery is a jax-free env probe (the parent must not init
+    # XLA before forking); forked workers inherit the monkeypatch above
+    (tmp_path / "w.pth").write_bytes(b"x")
+    monkeypatch.setenv("FREQFUSION_LPIPS_WEIGHTS", str(tmp_path / "w.pth"))
+    monkeypatch.setattr(ev, "_WORKER_TOWERS", None)
 
     monkeypatch.setattr(sys, "argv", [
         "eval.py", "--output", str(out_dir), "--target", str(tgt_dir),
