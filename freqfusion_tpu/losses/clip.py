@@ -177,10 +177,13 @@ def load_clip_params(model: CLIPVisionTransformer, weights_path: str):
     from ..utils import convert as cv
 
     sd = cv.load_torch_checkpoint(weights_path)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 224, 224, 3), jnp.float32))
+    # shape-only init (a real model.init runs the whole tower forward)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 224, 224, 3), jnp.float32)))
     params, report = cv.fill_params(variables["params"], sd, clip_key_fn,
                                     strict=True)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     pos = sd.get("positive_features")
     neg = sd.get("negative_features")
     return {"params": params}, pos, neg

@@ -144,8 +144,11 @@ def load_vgg19_params(model: VGG19Features, weights_path: str):
     pref = "feature_extractor.vgg_layers."
     sd = {(f"features.{k[len(pref):]}" if k.startswith(pref) else k): v
           for k, v in sd.items()}
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 32, 32, 3), jnp.float32))
+    # shape-only init (a real model.init runs the whole VGG forward on host)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3), jnp.float32)))
     params, report = cv.fill_params(variables["params"], sd, vgg_key_fn,
                                     strict=True)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     return {"params": params}

@@ -155,8 +155,11 @@ def load_dists_params(model: VGG16L2Stages, weights_path: str):
     alpha, beta = out.pop("alpha", None), out.pop("beta", None)
     if alpha is None or beta is None:
         raise RuntimeError(f"{weights_path} lacks DISTS alpha/beta weights")
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 32, 32, 3), jnp.float32))
+    # shape-only init (a real model.init runs the whole VGG forward on host)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3), jnp.float32)))
     params, report = cv.fill_params(variables["params"], out, dists_key_fn,
                                     strict=True)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     return {"params": params}, alpha, beta

@@ -135,9 +135,14 @@ def load_lpips_params(model: AlexLPIPS, weights_path: str):
         if k.startswith("lin") and k.endswith(".model.1.weight"):
             v = np.asarray(v).reshape(-1)  # [1,C,1,1] → [C]
         out[k] = v
-    variables = model.init(jax.random.PRNGKey(0),
+    # shape-only init: the real model.init runs a forward (~17 s/process —
+    # measured dominating the per-eval-worker tower load); every leaf is
+    # overwritten by the checkpoint below anyway
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3), jnp.float32),
-                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+                           jnp.zeros((1, 64, 64, 3), jnp.float32)))
     params, report = cv.fill_params(variables["params"], out, lpips_key_fn,
                                     strict=True)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     return {"params": params}

@@ -119,7 +119,10 @@ def main():
         "nafblock_w128_half": (lambda: NAFBlock(128), xn2),
     }
 
-    init_x = jnp.zeros((1, 2 * window, 2 * window, c), x.dtype)
+    # init at f32 regardless of probe dtype: rng-init params are f32, and a
+    # mixed f32-param/bf16-input init makes scan carries dtype-unstable
+    # (production inits at f32 and casts whole variable trees after)
+    init_x = jnp.zeros((1, 2 * window, 2 * window, c), jnp.float32)
     for name, mk in probes.items():
         if which and name not in which:
             continue

@@ -60,6 +60,7 @@ def test_dat_scan_stack_bf16():
     assert np.isfinite(np.asarray(sr, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_full_model_bf16_jit():
     # the bench protocol end-to-end: bf16 params + input, scanned stacks on,
     # fusion head included; output cast to f32 exactly like bench._fwd

@@ -30,6 +30,7 @@ def test_shape_contract():
 
 @requires_reference
 @pytest.mark.parametrize("hw", [(8, 8), (10, 6)])  # aligned + needs-padding
+@pytest.mark.slow
 def test_parity_vs_reference(hw):
     import torch
     ref_mod = ref_import("src.models.dat.dat_arch")

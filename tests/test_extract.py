@@ -26,6 +26,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_extract_then_train_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     model = ExpertEnsemble(**TINY)

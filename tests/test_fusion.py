@@ -26,6 +26,7 @@ def _to_jnp(d):
     return {k: jnp.asarray(v) for k, v in d.items()}
 
 
+@pytest.mark.slow
 def test_shapes_and_range():
     lr, outs, feats = _inputs()
     model = FusionHead(FusionConfig())
@@ -120,6 +121,7 @@ def test_parity_cached_training_path_with_collaborative():
                                atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_gradients_flow_training():
     lr, outs, feats = _inputs(b=2, h=8, w=8, seed=7)
     model = FusionHead(FusionConfig())

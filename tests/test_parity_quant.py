@@ -72,6 +72,7 @@ def test_tiled_vs_full_image_delta(model_and_params):
     assert max_delta < 0.15, max_delta
 
 
+@pytest.mark.slow
 def test_bf16_vs_f32_drift(model_and_params):
     model, variables = model_and_params
     rng = np.random.default_rng(2)

@@ -1,5 +1,6 @@
 """Live pipeline: ensemble composition + end-to-end tiled PNG→PNG inference."""
 
+import pytest
 import os
 
 import numpy as np
@@ -47,6 +48,7 @@ def test_full_model_end_to_end_tiled():
     assert sr.min() >= 0.0 and sr.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_mesh_sharded_tiled_inference_matches_single_device():
     """Sharding the tile batch over the 8-device mesh must be bitwise-free of
     the sharding (same program, psum-free data parallel)."""
@@ -79,6 +81,7 @@ def test_mesh_sharded_tiled_inference_matches_single_device():
     np.testing.assert_allclose(sr_sharded, sr_single, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_experts_are_frozen_in_training():
     model = FreqFusionSR(FusionConfig(), **TINY)
     x = jnp.ones((1, 16, 16, 3)) * 0.5

@@ -3,6 +3,7 @@ compose — extract_features → train (cached) → test.py → eval.py — on
 synthetic data with tiny experts, proving the full loop including
 native-checkpoint serving (train.py writes .ckpt, io.main loads it)."""
 
+import pytest
 import json
 import os
 import subprocess
@@ -41,6 +42,7 @@ def _run(cmd, env_extra, cwd=REPO, timeout=600):
     return r
 
 
+@pytest.mark.slow
 def test_extract_train_test_eval_compose(tmp_path):
     # synthetic dataset
     rng = np.random.default_rng(0)

@@ -61,6 +61,7 @@ def _config(tmp_path, epochs):
     }
 
 
+@pytest.mark.slow
 def test_live_training_validates_checkpoints_and_resumes(tmp_path):
     import warnings
 

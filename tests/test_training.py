@@ -133,6 +133,7 @@ def test_train_step_sharded_on_mesh():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_live_train_step_matches_full_diff():
     """The production live step differentiates only the non-expert subtree
     (the experts are upstream of every trainable param, so their weight
