@@ -119,12 +119,19 @@ class TSDSRDiT(nn.Module):
     depth: int = 12
     heads: int = 12
     one_step_timestep: int = 500
+    in_channels: int = 4
+    mlp_ratio: float = 4.0
+    patch: int = 2
+    time_embed_dim: int = 256
 
     @nn.compact
     def __call__(self, latent, timestep: Optional[jnp.ndarray] = None):
         if timestep is None:
             timestep = jnp.full((latent.shape[0],), self.one_step_timestep)
-        pred = DiT(hidden=self.hidden, depth=self.depth, heads=self.heads,
+        pred = DiT(in_channels=self.in_channels, hidden=self.hidden,
+                   depth=self.depth, heads=self.heads,
+                   mlp_ratio=self.mlp_ratio, patch=self.patch,
+                   time_embed_dim=self.time_embed_dim,
                    name="dit")(latent, timestep)
         return latent + pred * 0.1
 
@@ -135,6 +142,75 @@ def tsdsr_small():
 
 def tsdsr_base():
     return TSDSRDiT(hidden=768, depth=12, heads=12)
+
+
+def tsdsr_key_fn(path):
+    """Flax path → torch key for the TSD-SR DiT checkpoint contract.
+
+    The reference's transformer loader is shape-analyzed
+    (tsdsr_wrapper.py:156-219: load safetensors → inspect layer prefixes /
+    shapes → build): this is the same contract made executable. A torch
+    mirror of this DiT serializes as::
+
+        dit.patch_embed.{weight,bias}          conv [hidden, in, p, p]
+        dit.time_fc1.{weight,bias}             [4*hidden, time_embed_dim]
+        dit.time_fc2.{weight,bias}             [hidden, 4*hidden]
+        dit.blocks.{i}.norm1.mod.{weight,bias} adaLN [2*hidden, hidden]
+        dit.blocks.{i}.{qkv,proj}.{weight,bias}
+        dit.blocks.{i}.norm2.mod.{weight,bias}
+        dit.blocks.{i}.{fc1,fc2}.{weight,bias}
+        dit.norm.{weight,bias}                 final LayerNorm
+        dit.final_layer.{weight,bias}          [p*p*in, hidden]
+    """
+    parts = [p for p in path if p != "params"]
+    leaf = {"kernel": "weight", "bias": "bias", "scale": "weight"}[parts[-1]]
+    mods = [f"blocks.{p.split('_', 1)[1]}" if p.startswith("blocks_") else p
+            for p in parts[:-1]]
+    return ".".join(mods + [leaf])
+
+
+def infer_dit_config(sd) -> dict:
+    """Shape-analyze a DiT state dict into constructor kwargs
+    (the reference's `_analyze_state_dict` step, tsdsr_wrapper.py:178-194,
+    resolved into an actual architecture instead of a printout)."""
+    pe = sd["dit.patch_embed.weight"]           # OIHW [hidden, in, p, p]
+    hidden, in_ch, p = int(pe.shape[0]), int(pe.shape[1]), int(pe.shape[2])
+    depth = 1 + max(int(k.split(".")[2]) for k in sd
+                    if k.startswith("dit.blocks."))
+    mlp = int(sd["dit.blocks.0.fc1.weight"].shape[0])
+    return dict(hidden=hidden, in_channels=in_ch, patch=p, depth=depth,
+                heads=max(1, hidden // 64),      # head_dim 64 (DiT family)
+                mlp_ratio=mlp / hidden,
+                time_embed_dim=int(sd["dit.time_fc1.weight"].shape[1]))
+
+
+def load_tsdsr_params(weights_path: str):
+    """Load a TSD-SR DiT checkpoint (.safetensors or torch .pth/.ckpt) →
+    (TSDSRDiT, variables). Architecture is inferred from tensor shapes."""
+    from ..utils import convert as cv
+
+    if str(weights_path).endswith(".safetensors"):
+        from safetensors import safe_open
+        sd = {}
+        with safe_open(str(weights_path), framework="np") as f:
+            for k in f.keys():
+                sd[k] = f.get_tensor(k)
+    else:
+        sd = cv.load_torch_checkpoint(str(weights_path))
+    if not any(k.startswith("dit.") for k in sd):   # tolerate a bare DiT dump
+        sd = {f"dit.{k}": v for k, v in sd.items()}
+
+    cfg = infer_dit_config(sd)
+    model = TSDSRDiT(**cfg)
+    lat = jax.eval_shape(
+        lambda: jnp.zeros((1, 4 * model.patch, 4 * model.patch,
+                           model.in_channels), jnp.float32))
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(lat.shape,
+                                                            lat.dtype)))
+    params, report = cv.fill_params(variables["params"], sd, tsdsr_key_fn,
+                                    strict=True)
+    return model, {"params": jax.tree_util.tree_map(jnp.asarray, params)}
 
 
 class TSDSRInference:
@@ -148,6 +224,19 @@ class TSDSRInference:
 
     def __init__(self, dit: Optional[TSDSRDiT] = None, params=None,
                  codec=None, mode: str = "student", num_steps: int = 20):
+        if dit is None and params is None:
+            # env-gated DiT load, like the codec below: live iff
+            # FREQFUSION_TSDSR_WEIGHTS points at the transformer checkpoint
+            # (reference model_path load, tsdsr_wrapper.py:279-290)
+            import os
+            wpath = os.environ.get("FREQFUSION_TSDSR_WEIGHTS")
+            if wpath:
+                try:
+                    dit, params = load_tsdsr_params(wpath)
+                except Exception as e:  # bad file: degrade + warn, like VAE
+                    import warnings
+                    warnings.warn(f"TSD-SR DiT loading failed ({e}); "
+                                  "refiner stays an identity passthrough")
         self.dit = dit
         self.params = params
         if codec is None and dit is not None:
