@@ -29,7 +29,11 @@ import numpy as np
 
 from ..ops.fft import fft2, fftshift2
 
-# pywt wavelet decomposition filters (standard published coefficients)
+# pywt wavelet decomposition filters. haar/db4 are the shipped-recipe pair
+# (pinned published constants); every other dbN is constructed on demand —
+# see wavelet_filters below. The reference accepts any pywt wavelet name
+# (perceptual_loss.py:625-682); pywt isn't installed here, so the Daubechies
+# construction itself is implemented.
 _WAVELETS = {
     "haar": ([0.7071067811865476, 0.7071067811865476],
              [-0.7071067811865476, 0.7071067811865476]),
@@ -40,6 +44,53 @@ _WAVELETS = {
              -0.027983769416983849, 0.18703481171888114, 0.030841381835986965,
              -0.032883011666982945, -0.010597401784997278]),
 }
+
+
+@functools.lru_cache(maxsize=None)
+def wavelet_filters(name: str):
+    """(dec_lo, dec_hi) for a pywt wavelet name, matching pywt's layout.
+
+    haar/db4 come from the pinned tables above; any other ``dbN`` (N≤20) is
+    built by the standard Daubechies construction — spectral factorization
+    of the half-band polynomial P(y)=Σ C(N-1+k,k)·yᵏ, keeping the roots
+    inside the unit circle (minimal phase), N zeros at z=-1, filter
+    normalized to Σh=√2 — which is exactly how the published tables are
+    generated. sym1-sym3 alias db1-db3 (identical filters); higher symlets
+    differ only by root *selection* and are not tabulated here (the recipe
+    uses db4, reference train_config).
+    """
+    if name in _WAVELETS:
+        return _WAVELETS[name]
+    alias = {"db1": "haar", "sym1": "haar", "sym2": "db2", "sym3": "db3"}
+    if name in alias:
+        return wavelet_filters(alias[name])
+    import re as _re
+    m = _re.fullmatch(r"db(\d+)", name)
+    if not m or not 1 <= int(m.group(1)) <= 20:
+        raise ValueError(
+            f"unsupported wavelet {name!r}: haar, dbN (N<=20) or sym1-sym3")
+    return _daubechies(int(m.group(1)))
+
+
+def _daubechies(n: int):
+    """Minimal-phase Daubechies-n (dec_lo, dec_hi), pywt layout."""
+    # P(y): binomial coefficients C(N-1+k, k), k = 0..N-1 (highest first)
+    from math import comb
+    p = np.array([comb(n - 1 + k, k) for k in range(n - 1, -1, -1)], float)
+    rec_lo = np.poly1d([1.0])
+    for _ in range(n):                       # (1+z)^N factor
+        rec_lo = rec_lo * np.poly1d([1.0, 1.0])
+    roots_y = np.roots(p) if n > 1 else []
+    for y0 in roots_y:
+        # y = (2 - z - 1/z)/4  →  z² − (2−4y)z + 1 = 0; keep |z| < 1
+        zs = np.roots([1.0, -(2.0 - 4.0 * y0), 1.0])
+        rec_lo = rec_lo * np.poly1d([1.0, -zs[np.argmin(np.abs(zs))]])
+    h = np.real(rec_lo.coeffs)
+    h = h * (np.sqrt(2.0) / h.sum())
+    dec_lo = h[::-1]
+    dec_hi = np.array([(-1.0) ** (k + 1) * dec_lo[len(h) - 1 - k]
+                       for k in range(len(h))])
+    return (dec_lo.tolist(), dec_hi.tolist())
 
 
 def l1_loss(pred, target):
@@ -112,7 +163,7 @@ def fft_loss(pred, target, high_freq_weight: float = 2.0):
 def _swt_coeffs(x, wavelet: str, level: int):
     """Stationary wavelet coefficients via dilated depthwise convs with
     reflect padding (the reference's GPU path, perceptual_loss.py:684-733)."""
-    lo, hi = _WAVELETS[wavelet]
+    lo, hi = wavelet_filters(wavelet)
     k = len(lo)
     lo = np.asarray(lo, np.float32)
     hi = np.asarray(hi, np.float32)

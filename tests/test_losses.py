@@ -82,3 +82,48 @@ def test_parity_swt_loss():
         ref_swt = ref.SWTLoss(wavelet="db4", level=2)(to_nchw(a), to_nchw(b)).item()
     ours = float(losses.swt_loss(jnp.asarray(a), jnp.asarray(b), "db4", 2))
     assert abs(ours - ref_swt) < 1e-4, (ours, ref_swt)
+
+
+def test_daubechies_construction_matches_published_db4():
+    """The spectral-factorization builder reproduces the pinned published
+    db4 table (VERDICT r3 missing #4: any-dbN SWT)."""
+    lo, hi = losses._daubechies(4)
+    plo, phi = losses._WAVELETS["db4"]
+    np.testing.assert_allclose(lo, plo, atol=1e-10)
+    np.testing.assert_allclose(hi, phi, atol=1e-10)
+    np.testing.assert_allclose(losses.wavelet_filters("db1")[0],
+                               losses._WAVELETS["haar"][0], atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [2, 3, 6, 10])
+def test_daubechies_filter_properties(n):
+    lo, hi = losses.wavelet_filters(f"db{n}")
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    assert len(lo) == 2 * n
+    # orthonormality: sum h = sqrt(2); <h, h[2m shift]> = delta
+    np.testing.assert_allclose(lo.sum(), np.sqrt(2.0), atol=1e-9)
+    for m in range(n):
+        expect = 1.0 if m == 0 else 0.0
+        np.testing.assert_allclose((lo[2 * m:] * lo[:len(lo) - 2 * m]).sum(),
+                                   expect, atol=1e-8)
+    # n vanishing moments of the highpass (relative to the moment scale —
+    # k^mom amplifies float round-off absolutely for high orders)
+    k = np.arange(len(hi))
+    for mom in range(n):
+        scale = (np.abs(hi) * np.maximum(k, 1) ** mom).sum()
+        assert abs((hi * k**mom).sum()) / scale < 1e-8, (n, mom)
+
+
+def test_swt_loss_any_wavelet():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(1, 24, 24, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(1, 24, 24, 3)).astype(np.float32))
+    for w in ("db2", "db6", "sym3"):
+        v = float(losses.swt_loss(a, b, w, 2))
+        assert v > 0.0
+        assert float(losses.swt_loss(a, a, w, 2)) < 1e-6
+    # sym2 is db2 (published identity)
+    np.testing.assert_allclose(losses.wavelet_filters("sym2")[0],
+                               losses.wavelet_filters("db2")[0])
+    with pytest.raises(ValueError):
+        losses.wavelet_filters("bior2.2")
