@@ -92,9 +92,9 @@ def main():
                   flush=True)
 
     go("bias", lambda t: W.swin_bias_from_table(t, WS, WS), tables)
-    go("ocabias", lambda t: W.oca_bias_from_table(t, WS, WS // 2),
-       lambda n: [(jax.random.normal(k(i), ((WS + 24 - 1) ** 2, NH)) * 0.1,)
-                  for i in range(n)])
+    go("ocabias", lambda t: W.oca_bias_from_table(t, WS, WS + WS // 2),
+       lambda n: [(jax.random.normal(k(i), ((2 * WS + WS // 2 - 1) ** 2, NH))
+                   * 0.1,) for i in range(n)])
 
     from freqfusion_tpu.models.hat import CAB
     cab = CAB(C, 3, 30)
@@ -146,6 +146,59 @@ def main():
 
     go("kernel", hab_prebuilt, mk_hab_inputs, n1=1, n2=4)
     go("kernel_bias", hab_inbias, mk_hab_inputs, n1=1, n2=4)
+
+    # --- composed probes: the EXACT in-model fused-HAB sequence
+    # (hat.py:199-216) from raw params, to bisect the in-model 13.3 ms vs
+    # 6.7 ms parts-sum gap (probe_marginal hab_pallas vs the probes above)
+    def composed(x, cx_unused, table, wqkv, bqkv, wproj, bproj,
+                 w1, b1, w2, b2, shift=8):
+        cx = lncab(x)
+        bias = W.swin_bias_from_table(table, WS, WS)
+        xs, cxs = x, cx
+        if shift:
+            xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+            cxs = jnp.roll(cxs, (-shift, -shift), axis=(1, 2))
+        out = fused_hab_block(xs, cxs, *ln1, *ln1, wqkv, bqkv, wproj, bproj,
+                              w1, b1, w2, b2, bias,
+                              mask if shift else None, (WS, WS), NH, 0.01)
+        return jnp.roll(out, (shift, shift), axis=(1, 2)) if shift else out
+
+    go("composed", composed, mk_hab_inputs, n1=1, n2=4)
+    go("composed_noshift",
+       lambda *a: composed(*a, shift=0), mk_hab_inputs, n1=1, n2=4)
+    # rolls + kernel with an INDEPENDENT cab input (no LN/CAB on the
+    # critical path): isolates roll/layout interaction with the kernel
+    def kernel_roll(x, cx, table, wqkv, bqkv, wproj, bproj, w1, b1, w2, b2):
+        bias = W.swin_bias_from_table(table, WS, WS)
+        xs = jnp.roll(x, (-8, -8), axis=(1, 2))
+        cxs = jnp.roll(cx, (-8, -8), axis=(1, 2))
+        out = fused_hab_block(xs, cxs, *ln1, *ln1, wqkv, bqkv, wproj, bproj,
+                              w1, b1, w2, b2, bias, mask, (WS, WS), NH, 0.01)
+        return jnp.roll(out, (8, 8), axis=(1, 2))
+
+    go("kernel_roll", kernel_roll, mk_hab_inputs, n1=1, n2=4)
+
+    # finer bisection of the composed-LN+CAB cost (6.8 ms vs 2.5 standalone):
+    # pass   — cx := x (dual consumption, zero extra compute)
+    # lnonly — cx := LN(x) (adds the f32 LN)
+    # cabnoln— cx := CAB(x) (adds the convs, no LN)
+    def _composed_cx(cx_fn):
+        def f(x, cxu, table, wqkv, bqkv, wproj, bproj, w1, b1, w2, b2):
+            bias = W.swin_bias_from_table(table, WS, WS)
+            return fused_hab_block(x, cx_fn(x), *ln1, *ln1, wqkv, bqkv,
+                                   wproj, bproj, w1, b1, w2, b2, bias, None,
+                                   (WS, WS), NH, 0.01)
+        return f
+
+    def _ln(x):
+        m = jnp.mean(x.astype(jnp.float32), -1, keepdims=True)
+        v = jnp.mean(jnp.square(x.astype(jnp.float32) - m), -1, keepdims=True)
+        return ((x - m) * jax.lax.rsqrt(v + 1e-5)).astype(x.dtype)
+
+    go("composed_pass", _composed_cx(lambda x: x), mk_hab_inputs, n1=1, n2=4)
+    go("composed_lnonly", _composed_cx(_ln), mk_hab_inputs, n1=1, n2=4)
+    go("composed_cabnoln", _composed_cx(lambda x: cab.apply(cv, x)),
+       mk_hab_inputs, n1=1, n2=4)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,13 @@ def main():
         "hab_noshift": lambda: HAB(c, heads, window, 0, 3, 30, 0.01, 2.0),
         "hab_pallas": lambda: HAB(c, heads, window, 8, 3, 30, 0.01, 2.0,
                                   use_pallas=True),
+        # bisection variants for the in-model (13.3 ms) vs parts-sum
+        # (6.7 ms) gap: shift-0 removes rolls+mask; compress=90 makes the
+        # CAB branch ~free (mid 2 channels) without changing structure
+        "hab_pallas_noshift": lambda: HAB(c, heads, window, 0, 3, 30, 0.01,
+                                          2.0, use_pallas=True),
+        "hab_pallas_thincab": lambda: HAB(c, heads, window, 8, 90, 30, 0.01,
+                                          2.0, use_pallas=True),
         "wattn": lambda: WindowAttention(c, window, heads),
         "wattn_pallas": lambda: WindowAttention(c, window, heads,
                                                 use_pallas=True),
