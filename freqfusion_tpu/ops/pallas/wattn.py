@@ -103,15 +103,26 @@ def _mask_types(mask, n_wr: int, n_wc: int) -> np.ndarray:
     return types
 
 
-def _select_mask(mask_ref, g: int, gh: int):
-    """Pick this window's mask type from program position (f32 [N,N])."""
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    isb = (i == pl.num_programs(1) - 1) & (g == gh - 1)
-    isr = j == pl.num_programs(2) - 1
-    m = jnp.where(isr, mask_ref[1], mask_ref[0])
-    m = jnp.where(isb, jnp.where(isr, mask_ref[3], mask_ref[2]), m)
-    return m
+def _merged_bias_mask(bias, mask, n_wr: int, n_wc: int):
+    """bias [nh,N,N] + shift mask → [4,nh,N,N] per-type biased masks.
+
+    Shifted-window kernels feed this instead of separate bias/mask refs:
+    the per-program window type (0 interior, 1 last-col, 2 last-row, 3
+    corner) is selected by the BLOCK INDEX MAP, so the kernel does one add
+    and zero selects — the r3 in-kernel `_select_mask` where-chain measured
+    ~1.8 ms/call of pure overhead at 352×512 (probe_habglue). Consecutive
+    programs mostly share a type, so Mosaic's revisit optimization skips
+    the re-fetch along the row."""
+    types = jnp.asarray(_mask_types(np.asarray(mask), n_wr, n_wc),
+                        jnp.float32)
+    return bias[None] + types[:, None]
+
+
+def _type_index(i, j, n_wr: int, n_wc: int):
+    """Window-type block index from program position (trace-time ints OK)."""
+    r = (i // (n_wr - 1)) if n_wr > 1 else 1
+    c = (j // (n_wc - 1)) if n_wc > 1 else 1
+    return 2 * r + c
 
 
 def _align_heads(wqkv, bqkv, wproj, num_heads, hd, hdp):
@@ -134,15 +145,13 @@ def _align_heads(wqkv, bqkv, wproj, num_heads, hd, hdp):
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
             *rest, wsh: int, wsw: int, num_heads: int, head_dim: int,
             gh: int, has_mask: bool, mdt):
-    if has_mask:
-        mask_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+    (o_ref,) = rest
     n = wsh * wsw
     c = x_ref.shape[-1]
     cp = wproj_ref.shape[0]          # padded attention width (nh·hdp)
     hdp = cp // num_heads
     dt = mdt                         # MXU operand dtype (_mxu_dtype)
+    bias2 = bias_ref[0] if has_mask else bias_ref
     xb = x_ref[0].reshape(gh * n, c)
     qkv = jnp.dot(xb.astype(dt), wqkv_ref[:],
                   preferred_element_type=jnp.float32)
@@ -150,8 +159,6 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
     for g in range(gh):
-        if has_mask:
-            mg = _select_mask(mask_ref, g, gh)
         head_outs = []
         for h in range(num_heads):
             q = qkv[g * n:(g + 1) * n, h * hdp:(h + 1) * hdp]
@@ -159,9 +166,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
             v = qkv[g * n:(g + 1) * n, 2 * cp + h * hdp:2 * cp + (h + 1) * hdp]
             a = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            a = a + bias_ref[h]
-            if has_mask:
-                a = a + mg
+            a = a + bias2[h]
             a = jax.nn.softmax(a, axis=-1).astype(dt)
             head_outs.append(jnp.dot(a, v, preferred_element_type=jnp.float32)
                              .astype(dt))
@@ -205,18 +210,19 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 has_ca: bool, conv_scale: float, mdt):
     """Whole HAB minus the CAB convs: LN1 → W-MSA (+proj) → residual combine
     with the precomputed CAB branch → LN2 → MLP → residual, one HBM read of
-    (x, conv_x) and one write. See HAB in models/hat.py for the XLA chain."""
+    (x, conv_x) and one write. See HAB in models/hat.py for the XLA chain.
+
+    Shifted blocks (has_mask) receive bias+mask pre-merged per window type
+    ([1,nh,N,N] block, type picked by the index map) — no in-kernel mask."""
     rest = list(rest)
     ca_ref = rest.pop(0) if has_ca else None
-    if has_mask:
-        mask_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+    (o_ref,) = rest
     n = wsh * wsw
     c = x_ref.shape[-1]
     cp = wproj_ref.shape[0]
     hdp = cp // num_heads
     dt = mdt                         # MXU operand dtype (_mxu_dtype)
+    bias2 = bias_ref[0] if has_mask else bias_ref
     xb = x_ref[0].reshape(gh * n, c)
     ln1 = _ln(xb, ln1w_ref[0], ln1b_ref[0]).astype(dt)
     qkv = jnp.dot(ln1, wqkv_ref[:], preferred_element_type=jnp.float32)
@@ -224,8 +230,6 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
     for g in range(gh):
-        if has_mask:
-            mg = _select_mask(mask_ref, g, gh)
         head_outs = []
         for h in range(num_heads):
             q = qkv[g * n:(g + 1) * n, h * hdp:(h + 1) * hdp]
@@ -233,9 +237,7 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             v = qkv[g * n:(g + 1) * n, 2 * cp + h * hdp:2 * cp + (h + 1) * hdp]
             a = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            a = a + bias_ref[h]
-            if has_mask:
-                a = a + mg
+            a = a + bias2[h]
             a = jax.nn.softmax(a, axis=-1).astype(dt)
             head_outs.append(jnp.dot(a, v, preferred_element_type=jnp.float32)
                              .astype(dt))
@@ -285,7 +287,10 @@ def fused_hab_block(
     n = wsh * wsw
     hd = c // num_heads
     n_wr, n_wc = h // wsh, w // wsw
-    gh = _pick_gh(n_wr, max_gh)
+    has_mask = mask is not None
+    # masked calls run gh=1 so the per-program merged bias type is exact
+    # (gh was measured runtime-neutral — PERF.md r3 MAX_GH experiment)
+    gh = 1 if has_mask else _pick_gh(n_wr, max_gh)
     mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
 
     align = 32
@@ -304,23 +309,32 @@ def fused_hab_block(
                             memory_space=pltpu.VMEM)
     const = lambda *shape: (lambda bi, i, j: tuple(0 for _ in shape))
     vec = lambda m: pl.BlockSpec((1, m), const(0, 0), memory_space=pltpu.VMEM)
+    f32 = lambda a: a.astype(jnp.float32)
+    if has_mask:
+        bias_arg = _merged_bias_mask(f32(bias), mask, n_wr, n_wc)
+        bias_spec = pl.BlockSpec(
+            (1, num_heads, n, n),
+            lambda bi, i, j: (_type_index(i, j, n_wr, n_wc), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        bias_arg = f32(bias)
+        bias_spec = pl.BlockSpec((num_heads, n, n), const(0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     in_specs = [
         img_spec, img_spec,
         pl.BlockSpec((c, 3 * cp), const(0, 0), memory_space=pltpu.VMEM),
         vec(3 * cp),
         pl.BlockSpec((cp, c), const(0, 0), memory_space=pltpu.VMEM),
         vec(c),
-        pl.BlockSpec((num_heads, n, n), const(0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        bias_spec,
         vec(c), vec(c), vec(c), vec(c),
         pl.BlockSpec((c, hidden), const(0, 0), memory_space=pltpu.VMEM),
         vec(hidden),
         pl.BlockSpec((hidden, c), const(0, 0), memory_space=pltpu.VMEM),
         vec(c),
     ]
-    f32 = lambda a: a.astype(jnp.float32)
     args = [x, conv_x, wqkv, bqkv.reshape(1, -1), wproj,
-            f32(bproj).reshape(1, -1), f32(bias),
+            f32(bproj).reshape(1, -1), bias_arg,
             f32(ln1_w).reshape(1, -1), f32(ln1_b).reshape(1, -1),
             f32(ln2_w).reshape(1, -1), f32(ln2_b).reshape(1, -1),
             w1, f32(b1).reshape(1, -1), w2, f32(b2).reshape(1, -1)]
@@ -331,13 +345,6 @@ def fused_hab_block(
                                      lambda bi, i, j: (bi, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(f32(cab_scale).reshape(-1, 1, 1, c))
-
-    has_mask = mask is not None
-    if has_mask:
-        in_specs.append(pl.BlockSpec(
-            (4, n, n), lambda bi, i, j: (0, 0, 0),
-            memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(_mask_types(mask, n_wr, n_wc), jnp.float32))
 
     kernel = functools.partial(
         _kernel_hab, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
@@ -427,21 +434,17 @@ def _kernel_qkv(q_ref, k_ref, v_ref, bias_ref, *rest, wsh: int, wsw: int,
     """Pre-projected q/k/v images (DAT rect-window branches: the qkv Dense
     and the output proj live outside because AIM consumes v / the branch
     concat, dat_arch.py:409-424)."""
-    if has_mask:
-        mask_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+    (o_ref,) = rest
     n = wsh * wsw
     c = q_ref.shape[-1]
     dt = mdt
+    bias2 = bias_ref[0] if has_mask else bias_ref
     qb = q_ref[0].reshape(gh * n, c).astype(dt)
     kb = k_ref[0].reshape(gh * n, c).astype(dt)
     vb = v_ref[0].reshape(gh * n, c).astype(dt)
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
     for g in range(gh):
-        if has_mask:
-            mg = _select_mask(mask_ref, g, gh)
         head_outs = []
         for h in range(num_heads):
             rows = slice(g * n, (g + 1) * n)
@@ -449,9 +452,7 @@ def _kernel_qkv(q_ref, k_ref, v_ref, bias_ref, *rest, wsh: int, wsw: int,
             a = jax.lax.dot_general(qb[rows, cols] * scale, kb[rows, cols],
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            a = a + bias_ref[h]
-            if has_mask:
-                a = a + mg
+            a = a + bias2[h]
             a = jax.nn.softmax(a, axis=-1).astype(dt)
             head_outs.append(
                 jnp.dot(a, vb[rows, cols], preferred_element_type=jnp.float32)
@@ -478,25 +479,28 @@ def fused_window_attention_qkv(
     n = wsh * wsw
     hd = c // num_heads
     n_wr, n_wc = h // wsh, w // wsw
-    gh = _pick_gh(n_wr, max_gh)
+    has_mask = mask is not None
+    gh = 1 if has_mask else _pick_gh(n_wr, max_gh)
     mdt = _mxu_dtype(q.dtype, interpret, mxu_dtype)
 
     grid = (b, n_wr // gh, n_wc)
     img_spec = pl.BlockSpec((1, gh * wsh, wsw, c),
                             lambda bi, i, j: (bi, i, j, 0),
                             memory_space=pltpu.VMEM)
-    in_specs = [img_spec, img_spec, img_spec,
-                pl.BlockSpec((num_heads, n, n),
-                             lambda bi, i, j: (0, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    args = [q, k, v, bias.astype(jnp.float32)]
-
-    has_mask = mask is not None
     if has_mask:
-        in_specs.append(pl.BlockSpec(
-            (4, n, n), lambda bi, i, j: (0, 0, 0),
-            memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(_mask_types(mask, n_wr, n_wc), jnp.float32))
+        bias_arg = _merged_bias_mask(bias.astype(jnp.float32), mask,
+                                     n_wr, n_wc)
+        bias_spec = pl.BlockSpec(
+            (1, num_heads, n, n),
+            lambda bi, i, j: (_type_index(i, j, n_wr, n_wc), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        bias_arg = bias.astype(jnp.float32)
+        bias_spec = pl.BlockSpec((num_heads, n, n),
+                                 lambda bi, i, j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    in_specs = [img_spec, img_spec, img_spec, bias_spec]
+    args = [q, k, v, bias_arg]
 
     kernel = functools.partial(
         _kernel_qkv, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
@@ -523,14 +527,12 @@ def _kernel_xqkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, *rest, wsh: int,
     feature image, projects this branch's 3·co qkv columns in VMEM, and
     writes the co-wide attended image (no output projection — DAT's proj
     happens inside the fused AIM gates kernel, ops/pallas/aim.py)."""
-    if has_mask:
-        mask_ref, o_ref = rest
-    else:
-        (o_ref,) = rest
+    (o_ref,) = rest
     n = wsh * wsw
     cin = x_ref.shape[-1]
     co = wqkv_ref.shape[1] // 3
     dt = mdt
+    bias2 = bias_ref[0] if has_mask else bias_ref
     xb = x_ref[0].reshape(gh * n, cin)
     qkv = jnp.dot(xb.astype(dt), wqkv_ref[:],
                   preferred_element_type=jnp.float32)
@@ -538,8 +540,6 @@ def _kernel_xqkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, *rest, wsh: int,
     scale = jnp.asarray(head_dim ** -0.5, dt)
 
     for g in range(gh):
-        if has_mask:
-            mg = _select_mask(mask_ref, g, gh)
         head_outs = []
         rows = slice(g * n, (g + 1) * n)
         for h in range(num_heads):
@@ -548,9 +548,7 @@ def _kernel_xqkv(x_ref, wqkv_ref, bqkv_ref, bias_ref, *rest, wsh: int,
             v = qkv[rows, 2 * co + h * head_dim:2 * co + (h + 1) * head_dim]
             a = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            a = a + bias_ref[h]
-            if has_mask:
-                a = a + mg
+            a = a + bias2[h]
             a = jax.nn.softmax(a, axis=-1).astype(dt)
             head_outs.append(jnp.dot(a, v, preferred_element_type=jnp.float32)
                              .astype(dt))
@@ -582,7 +580,8 @@ def fused_window_attention_xqkv(
     co = wqkv.shape[1] // 3
     hd = co // num_heads
     n_wr, n_wc = h // wsh, w // wsw
-    gh = _pick_gh(n_wr, max_gh)
+    has_mask = mask is not None
+    gh = 1 if has_mask else _pick_gh(n_wr, max_gh)
     mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
     wqkv = wqkv.astype(mdt)
 
@@ -591,22 +590,24 @@ def fused_window_attention_xqkv(
                                   lambda bi, i, j: (bi, i, j, 0),
                                   memory_space=pltpu.VMEM)
     const = lambda *shape: (lambda bi, i, j: tuple(0 for _ in shape))
+    if has_mask:
+        bias_arg = _merged_bias_mask(bias.astype(jnp.float32), mask,
+                                     n_wr, n_wc)
+        bias_spec = pl.BlockSpec(
+            (1, num_heads, n, n),
+            lambda bi, i, j: (_type_index(i, j, n_wr, n_wc), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        bias_arg = bias.astype(jnp.float32)
+        bias_spec = pl.BlockSpec((num_heads, n, n), const(0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     in_specs = [
         img(cin),
         pl.BlockSpec((cin, 3 * co), const(0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 3 * co), const(0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((num_heads, n, n), const(0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        bias_spec,
     ]
-    args = [x, wqkv, bqkv.astype(jnp.float32).reshape(1, -1),
-            bias.astype(jnp.float32)]
-
-    has_mask = mask is not None
-    if has_mask:
-        in_specs.append(pl.BlockSpec(
-            (4, n, n), lambda bi, i, j: (0, 0, 0),
-            memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(_mask_types(mask, n_wr, n_wc), jnp.float32))
+    args = [x, wqkv, bqkv.astype(jnp.float32).reshape(1, -1), bias_arg]
 
     kernel = functools.partial(
         _kernel_xqkv, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
@@ -759,7 +760,8 @@ def fused_window_attention(
     n = wsh * wsw
     hd = c // num_heads
     n_wr, n_wc = h // wsh, w // wsw
-    gh = _pick_gh(n_wr, max_gh)
+    has_mask = mask is not None
+    gh = 1 if has_mask else _pick_gh(n_wr, max_gh)
     mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
 
     hdp = -(-hd // align) * align if align else hd
@@ -770,6 +772,17 @@ def fused_window_attention(
 
     grid = (b, n_wr // gh, n_wc)
     const = lambda *shape: (lambda bi, i, j: tuple(0 for _ in shape))
+    if has_mask:
+        bias_arg = _merged_bias_mask(bias.astype(jnp.float32), mask,
+                                     n_wr, n_wc)
+        bias_spec = pl.BlockSpec(
+            (1, num_heads, n, n),
+            lambda bi, i, j: (_type_index(i, j, n_wr, n_wc), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        bias_arg = bias.astype(jnp.float32)
+        bias_spec = pl.BlockSpec((num_heads, n, n), const(0, 0, 0),
+                                 memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, gh * wsh, wsw, c), lambda bi, i, j: (bi, i, j, 0),
                      memory_space=pltpu.VMEM),
@@ -777,18 +790,10 @@ def fused_window_attention(
         pl.BlockSpec((1, 3 * cp), const(0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((cp, c), const(0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c), const(0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((num_heads, n, n), const(0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        bias_spec,
     ]
     args = [x, wqkv, bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
-            bias.astype(jnp.float32)]
-
-    has_mask = mask is not None
-    if has_mask:
-        in_specs.append(pl.BlockSpec(
-            (4, n, n), lambda bi, i, j: (0, 0, 0),
-            memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(_mask_types(mask, n_wr, n_wc), jnp.float32))
+            bias_arg]
 
     kernel = functools.partial(
         _kernel, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,25 +87,39 @@ def extract_overlapping_windows(x: jnp.ndarray, win: int, overlap: int) -> jnp.n
     return xc.reshape(b * nh * nw, ows * ows, c)
 
 
+@functools.lru_cache(maxsize=None)
+def _axis_onehot(s: int) -> np.ndarray:
+    """S[q, k, a] = 1 iff a == q - k + s - 1 — the per-axis selector of the
+    separable relative-position expansion, [s, s, 2s-1] float32."""
+    q = np.arange(s)[:, None, None]
+    k = np.arange(s)[None, :, None]
+    a = np.arange(2 * s - 1)[None, None, :]
+    return (a == q - k + s - 1).astype(np.float32)
+
+
 def swin_bias_from_table(table: jnp.ndarray, hs: int, ws: int) -> jnp.ndarray:
     """[(2hs-1)(2ws-1), nh] bias table → [nh, hs·ws, hs·ws] bias matrix,
-    built from static slices + flips instead of `table[rpi]`.
+    built as a separable one-hot einsum instead of `table[rpi]`.
 
     XLA gathers are pathologically slow on this TPU backend (~5 ms for the
     65k-element window-bias gather — 72 of them accounted for most of
     HAT-L's device time in round 1). The relative-position structure is a
-    2-D Toeplitz pattern: reshape the table to its (2hs-1)×(2ws-1) offset
-    image, then each query row/col is a reversed contiguous slice.
+    2-D Toeplitz pattern, separable per axis: bias[h, qy qx, ky kx] =
+    img[qy-ky+hs-1, qx-kx+ws-1, h] = Σ_ab Sy[qy,ky,a]·Sx[qx,kx,b]·img[a,b,h]
+    with Sy/Sx trace-time one-hot constants. One einsum replaces the r3
+    stack-of-flipped-slices build (measured 1.5 ms/call at ws=16 — layout-
+    bound; 144 calls/image across HAT+DAT). HIGHEST precision keeps the
+    one-hot contraction exact (DEFAULT would truncate table values to bf16).
     """
     nh = table.shape[-1]
     img = table.reshape(2 * hs - 1, 2 * ws - 1, nh)
-    # bias[q, k] = img[qy-ky+hs-1, qx-kx+ws-1]
-    rows = jnp.stack([jnp.flip(img[qy:qy + hs], 0) for qy in range(hs)], 0)
-    full = jnp.stack([jnp.flip(rows[:, :, qx:qx + ws], 2)
-                      for qx in range(ws)], 1)
+    sy = jnp.asarray(_axis_onehot(hs), table.dtype)
+    sx = jnp.asarray(_axis_onehot(ws), table.dtype)
+    out = jnp.einsum("abh,yka,xsb->hyxks", img, sy, sx,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
     n = hs * ws
-    return jnp.transpose(full.reshape(hs, ws, hs, ws, nh)
-                         .reshape(n, n, nh), (2, 0, 1))
+    return out.reshape(nh, n, n)
 
 
 def oca_bias_from_table(table: jnp.ndarray, ws: int, wse: int) -> jnp.ndarray:

@@ -99,6 +99,10 @@ def main():
     from freqfusion_tpu.models.hat import CAB
     cab = CAB(C, 3, 30)
     cv = cab.init(k(0), jnp.zeros((1, 2 * WS, 2 * WS, C), dtype))
+    # serving casts the whole param tree to the serving dtype — f32 weights
+    # here would promote every conv to f32 whole-image converts (seen in the
+    # r4 HLO dump) and misstate the composition cost
+    cv = jax.tree_util.tree_map(lambda a: a.astype(dtype), cv)
 
     def lncab(x):
         m = jnp.mean(x.astype(jnp.float32), -1, keepdims=True)
@@ -199,6 +203,17 @@ def main():
     go("composed_lnonly", _composed_cx(_ln), mk_hab_inputs, n1=1, n2=4)
     go("composed_cabnoln", _composed_cx(lambda x: cab.apply(cv, x)),
        mk_hab_inputs, n1=1, n2=4)
+
+    # r4 finding: CAB-in-composition costs ~6.9 ms vs 2.6 standalone — the
+    # conv↔pallas interface. Try the alternative lowerings IN COMPOSITION
+    # (probe_cab measured them XLA-to-XLA, where native conv wins):
+    import os
+    for impl in ("shift9", "im2col", "cnmajor"):
+        os.environ["FREQFUSION_CAB_IMPL"] = impl
+        go(f"composed_cabnoln_{impl}",
+           _composed_cx(lambda x: cab.apply(cv, x)), mk_hab_inputs,
+           n1=1, n2=4)
+        os.environ.pop("FREQFUSION_CAB_IMPL", None)
 
 
 if __name__ == "__main__":
