@@ -83,13 +83,15 @@ class CAB(nn.Module):
     squeeze: int = 30
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x=None, raw: bool = False):
         from .nafnet import _ConvParams
         c = self.features
         mid = c // self.compress
         w1, b1 = _ConvParams((3, 3, c, mid), name="conv1")()
         w2, b2 = _ConvParams((3, 3, mid, c), name="conv2")()
         ca = ChannelAttention(c, self.squeeze, name="ca")
+        if raw:
+            return (w1, b1, w2, b2) + tuple(ca(raw=True))
         # thin-channel conv pair: lowering is env-selectable (FREQFUSION_
         # CAB_IMPL) — XLA's native conv runs it at ~25% MXU util (PERF.md)
         from ..ops.convchain import conv3x3_chain
@@ -191,13 +193,30 @@ class HAB(nn.Module):
         if (self.use_pallas and not self.is_initializing()
                 and jax.default_backend() == "tpu" and self.window >= 8
                 and h % 2 == 0 and w % 2 == 0):
-            # whole-block fused kernel (LN1+W-MSA+residuals+LN2+MLP); the CAB
-            # conv branch stays in XLA — its dense convs are already
-            # MXU-bound (a strip-chain variant measured slower, PERF.md).
+            # whole-block fused kernel (LN1+W-MSA+residuals+LN2+MLP).
             # Residuals commute with the shift roll, so shifted blocks run
             # entirely in rolled coordinates.
-            cab_pre = cab(apply_ln(x, ln1_w, ln1_b))
-            ca_scale = None
+            import os
+            if os.environ.get("FREQFUSION_CAB_KERNEL", "1") != "0":
+                # CAB conv chain as a second Pallas kernel: the XLA-conv →
+                # pallas boundary paid ~7 ms/HAB of transposing relayouts
+                # at whole-image shapes (r4 HLO dump, ops/pallas/cab.py);
+                # pallas→pallas composes free. The spatially-constant CA
+                # gate rides the kernel's cab_scale operand.
+                from ..ops.pallas.cab import cab_chain
+                cw1, cb1, cw2, cb2, qw1, qb1, qw2, qb2 = cab(raw=True)
+                cab_pre, sums = cab_chain(x, ln1_w, ln1_b, cw1, cb1,
+                                          cw2, cb2)
+                pooled = sums / (h * w)
+                mid = jax.nn.relu(jnp.einsum(
+                    "bxyc,cd->bxyd", pooled, qw1.reshape(c, -1)) + qb1)
+                ca_scale = jax.nn.sigmoid(jnp.einsum(
+                    "bxyc,cd->bxyd", mid, qw2.reshape(-1, c)) + qb2)
+            else:
+                # CAB in XLA (pre-r4 path): dense convs are MXU-bound but
+                # the conv↔pallas relayouts dominate (PERF.md r4)
+                cab_pre = cab(apply_ln(x, ln1_w, ln1_b))
+                ca_scale = None
             wqkv, bqkv, wproj, bproj, bias = attn_mod(x, raw=True)
             k1, b1, k2, b2 = mlp(x, raw=True)
             from ..ops.pallas.wattn import fused_hab_block

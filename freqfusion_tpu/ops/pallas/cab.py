@@ -1,0 +1,187 @@
+"""Fused CAB conv-chain Pallas kernel (HAT's parallel conv branch).
+
+Why: the r4 HLO schedule (scripts/probe_habhlo.py) showed every XLA-conv →
+pallas boundary in the HAB chain paying transposing relayouts — XLA lowers
+the 3×3 convs in a {3,0,2,1:T(2,128)} layout, the GELU erf in f32 at
+T(1,128), and the channel-attention pool as a whole-image f32 convert
+(130 MB), then copies back to the standard {3,2,1,0:T(8,128)} layout the
+Mosaic custom call requires. Measured composition cost: ~6.6-9 ms per HAB
+at [1,352,512,180] bf16 on top of ~5 ms of parts (probe_habglue r4), for
+all CAB lowerings (conv/shift9/im2col) — the boundary, not the conv, is
+the cost. Elementwise producers compose free.
+
+This kernel computes the whole pre-attention CAB chain
+
+    u = conv3x3(GELU(conv3x3(LN1(x)) + b1)) + b2        (dense, SAME)
+
+strip-resident in VMEM (LN in f32, tap matmuls on the MXU in the wattn
+operand dtype), plus the channel-attention pool's per-image sums as a
+second output. The tiny CA MLP (C→C/squeeze→C, sigmoid) runs in XLA on the
+pooled [B,1,1,C] vector, and the resulting gate is applied *inside*
+fused_hab_block via its cab_scale operand — so the full HAB data path is
+pallas→pallas with only elementwise XLA between, which composes free.
+
+Replaces the XLA lowering of the reference CAB
+(/root/reference/src/models/hat/hat_arch.py:61-74) inside the fused-HAB
+serving path (models/hat.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nafblock import _pick_bh
+from .wattn import MOSAIC_PARAMS, _gelu_exact, _ln, _mxu_dtype
+
+
+def _kernel(x_ref, xt2_ref, xt1_ref, xb1_ref, xb2_ref, lnw_ref, lnb_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, u_ref, sum_ref,
+            *, bh: int, h: int, mdt):
+    i = pl.program_id(1)
+    wp = x_ref.shape[2]          # W + 4 (caller W-pads by the 2-row halo)
+    w = wp - 4
+    c = x_ref.shape[3]
+    mid = w1_ref.shape[1]
+    dt = mdt
+
+    # assemble rows [-2 .. bh+2); sublane concat along the outer dim only
+    # (lane/sublane-dim concats miscompile at these widths — PERF.md)
+    xa = jnp.concatenate([xt2_ref[0], xt1_ref[0], x_ref[0],
+                          xb1_ref[0], xb2_ref[0]], axis=0)
+
+    z = _ln(xa, lnw_ref[0], lnb_ref[0])
+    # zero everything outside the true image: clamped halo rows carry live
+    # pixels, and SAME padding means the conv input is zero there
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (bh + 4, 1, 1), 0)
+            + i * bh - 2)
+    rlive = ((rows >= 0) & (rows < h)).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+    clive = ((cols >= 2) & (cols < w + 2)).astype(jnp.float32)
+    z = (z * rlive * clive).astype(dt)
+
+    # conv1 (C→mid) over the out1 region [bh+2, w+2] — one tap = one MXU
+    # matmul on the shifted window view
+    r1, q1 = bh + 2, w + 2
+    acc = jnp.zeros((r1 * q1, mid), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = z[dy:dy + r1, dx:dx + q1, :].reshape(r1 * q1, c)
+            acc = acc + jnp.dot(tap, w1_ref[(dy * 3 + dx) * c:
+                                            (dy * 3 + dx + 1) * c, :],
+                                preferred_element_type=jnp.float32)
+    g = _gelu_exact(acc + b1_ref[0]).reshape(r1, q1, mid)
+    # GELU(b1) ≠ 0: re-zero the out-of-image ring before conv2 reads it
+    rows1 = (jax.lax.broadcasted_iota(jnp.int32, (r1, 1, 1), 0)
+             + i * bh - 1)
+    r1live = ((rows1 >= 0) & (rows1 < h)).astype(jnp.float32)
+    cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, q1, 1), 1)
+    c1live = ((cols1 >= 1) & (cols1 < w + 1)).astype(jnp.float32)
+    g = (g * r1live * c1live).astype(dt)
+
+    # conv2 (mid→C) over the block's own [bh, w]
+    acc2 = jnp.zeros((bh * w, c), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = g[dy:dy + bh, dx:dx + w, :].reshape(bh * w, mid)
+            acc2 = acc2 + jnp.dot(tap, w2_ref[(dy * 3 + dx) * mid:
+                                              (dy * 3 + dx + 1) * mid, :],
+                                  preferred_element_type=jnp.float32)
+    u = acc2 + b2_ref[0]
+    u_ref[0] = u.reshape(bh, w, c).astype(u_ref.dtype)
+
+    part = jnp.sum(u, axis=0, keepdims=True).reshape(1, 1, 1, c)
+
+    @pl.when(i == 0)
+    def _init():
+        sum_ref[...] = part
+
+    @pl.when(i > 0)
+    def _acc():
+        sum_ref[...] = sum_ref[...] + part
+
+
+def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
+              mxu_dtype=None):
+    """LN1 + dense 3×3 (C→mid) + exact GELU + dense 3×3 (mid→C), fused.
+
+    x [B,H,W,C] raw (pre-LN) input; w1 [3,3,C,mid], w2 [3,3,mid,C] (HWIO).
+    Returns (u [B,H,W,C] in x.dtype, sums [B,1,1,C] f32) where sums is the
+    spatial sum of u for the channel-attention pool (mean = sums / (H·W)).
+    """
+    b, h, w, c = x.shape
+    mid = w1.shape[-1]
+    mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
+
+    bh = _pick_bh(h, w + 4, (c, c, mid, mid, c))
+    nb = h // bh
+    xp = jnp.pad(x, [(0, 0), (0, 0), (2, 2), (0, 0)])
+    wp = w + 4
+
+    f32 = lambda t: t.astype(jnp.float32)
+    const = lambda *shape: (lambda bi, i: tuple(0 for _ in shape))
+    vec = lambda m: pl.BlockSpec((1, m), const(0, 0), memory_space=pltpu.VMEM)
+    row = lambda rmap: pl.BlockSpec((1, 1, wp, c),
+                                    lambda bi, i: (bi, rmap(i), 0, 0),
+                                    memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, bh, wp, c), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        row(lambda i: jnp.maximum(i * bh - 2, 0)),
+        row(lambda i: jnp.maximum(i * bh - 1, 0)),
+        row(lambda i: jnp.minimum(i * bh + bh, h - 1)),
+        row(lambda i: jnp.minimum(i * bh + bh + 1, h - 1)),
+        vec(c), vec(c),
+        pl.BlockSpec((9 * c, mid), const(0, 0), memory_space=pltpu.VMEM),
+        vec(mid),
+        pl.BlockSpec((9 * mid, c), const(0, 0), memory_space=pltpu.VMEM),
+        vec(c),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, bh, w, c), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, c), lambda bi, i: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(_kernel, bh=bh, h=h, mdt=mdt)
+    u, sums = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct((b, 1, 1, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 9 * (c * mid + mid * c),
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=b * h * w * mid),
+        compiler_params=MOSAIC_PARAMS,
+        interpret=interpret,
+    )(xp, xp, xp, xp, xp, f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),
+      w1.reshape(9 * c, mid).astype(mdt), f32(b1).reshape(1, -1),
+      w2.reshape(9 * mid, c).astype(mdt), f32(b2).reshape(1, -1))
+    return u, sums
+
+
+def cab_chain_reference(x, ln_w, ln_b, w1, b1, w2, b2):
+    """XLA twin (identical math, HIGHEST-precision convs) for parity tests."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    z = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_w + ln_b
+
+    def conv(t, k):
+        return jax.lax.conv_general_dilated(
+            t, k.astype(jnp.float32), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
+
+    g = jax.nn.gelu(conv(z, w1) + b1, approximate=False)
+    u = conv(g, w2) + b2
+    return u.astype(x.dtype), jnp.sum(
+        u, axis=(1, 2), keepdims=True).astype(jnp.float32)

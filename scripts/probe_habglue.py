@@ -215,6 +215,42 @@ def main():
            n1=1, n2=4)
         os.environ.pop("FREQFUSION_CAB_IMPL", None)
 
+    # --- r4 fix candidate: CAB as a Pallas kernel (ops/pallas/cab.py),
+    # CA gate applied in-kernel via fused_hab_block's cab_scale operand —
+    # pallas→pallas boundaries compose free (composed_pass/lnonly above)
+    from freqfusion_tpu.ops.pallas.cab import cab_chain
+    cp = cv["params"]
+    cargs = (jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32),
+             cp["conv1"]["kernel"], cp["conv1"]["bias"],
+             cp["conv2"]["kernel"], cp["conv2"]["bias"])
+    caw1 = cp["ca"]["fc1"]["kernel"].reshape(C, -1)
+    cab1 = cp["ca"]["fc1"]["bias"]
+    caw2 = cp["ca"]["fc2"]["kernel"].reshape(-1, C)
+    cab2 = cp["ca"]["fc2"]["bias"]
+
+    go("cabkernel", lambda x: cab_chain(x, *cargs)[0], imgs, n1=1, n2=4)
+
+    def composed_cabkernel(x, cxu, table, wqkv, bqkv, wproj, bproj,
+                           w1, b1, w2, b2, shift=8):
+        u, sums = cab_chain(x, *cargs)
+        pooled = sums / (H * WW)
+        mid = jax.nn.relu(jnp.einsum("bxyc,cd->bxyd", pooled, caw1) + cab1)
+        gate = jax.nn.sigmoid(jnp.einsum("bxyc,cd->bxyd", mid, caw2) + cab2)
+        bias = W.swin_bias_from_table(table, WS, WS)
+        xs, cxs = x, u
+        if shift:
+            xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+            cxs = jnp.roll(cxs, (-shift, -shift), axis=(1, 2))
+        out = fused_hab_block(xs, cxs, *ln1, *ln1, wqkv, bqkv, wproj, bproj,
+                              w1, b1, w2, b2, bias,
+                              mask if shift else None, (WS, WS), NH, 0.01,
+                              cab_scale=gate)
+        return jnp.roll(out, (shift, shift), axis=(1, 2)) if shift else out
+
+    go("composed_cabkernel", composed_cabkernel, mk_hab_inputs, n1=1, n2=4)
+    go("composed_cabkernel_noshift",
+       lambda *a: composed_cabkernel(*a, shift=0), mk_hab_inputs, n1=1, n2=4)
+
 
 if __name__ == "__main__":
     main()

@@ -4,7 +4,7 @@ ops that explain the ~6 ms composition overhead (probe_habglue r4:
 composed_cabnoln 10.1 ms vs parts-sum ~4.3 — lowering-independent, so the
 cost must be visible as scheduled ops: copies / relayouts / fusions).
 
-Usage: python scripts/probe_habhlo.py [dtype]
+Usage: python scripts/probe_habhlo.py [dtype] [cab_impl]
 """
 
 import re
@@ -30,8 +30,15 @@ def main():
     from freqfusion_tpu.models.hat import CAB
     from freqfusion_tpu.ops.pallas.wattn import fused_hab_block
 
+    if len(sys.argv) > 2:
+        import os
+        os.environ["FREQFUSION_CAB_IMPL"] = sys.argv[2]
+
     cab = CAB(C, 3, 30)
     cv = cab.init(k(0), jnp.zeros((1, 2 * WS, 2 * WS, C), dtype))
+    # serving casts the param tree to the serving dtype; f32 weights here
+    # would promote every conv to f32 whole-image converts (r4 HLO dump)
+    cv = jax.tree_util.tree_map(lambda a: a.astype(dtype), cv)
     ln1 = (jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32))
 
     def composed2(x, table, wqkv, bqkv, wproj, bproj, w1, b1, w2, b2):

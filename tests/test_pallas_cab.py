@@ -1,0 +1,74 @@
+"""Fused CAB conv-chain kernel (ops/pallas/cab.py): interpret-mode parity
+vs the XLA reference and vs the CAB flax module (gate composition), so the
+kernel is a drop-in for the module inside the fused-HAB serving path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from freqfusion_tpu.models.hat import CAB, apply_ln
+from freqfusion_tpu.ops.pallas.cab import cab_chain, cab_chain_reference
+
+
+def _params(c, mid, seed=0):
+    k = jax.random.PRNGKey
+    ln_w = 1.0 + 0.1 * jax.random.normal(k(seed), (c,))
+    ln_b = 0.05 * jax.random.normal(k(seed + 1), (c,))
+    w1 = jax.random.normal(k(seed + 2), (3, 3, c, mid)) * (0.3 / c)
+    b1 = 0.1 * jax.random.normal(k(seed + 3), (mid,))
+    w2 = jax.random.normal(k(seed + 4), (3, 3, mid, c)) * (0.3 / mid)
+    b2 = 0.1 * jax.random.normal(k(seed + 5), (c,))
+    return ln_w, ln_b, w1, b1, w2, b2
+
+
+def _run(b, h, w, c, mid, seed=0):
+    args = _params(c, mid, seed)
+    x = jax.random.normal(jax.random.PRNGKey(seed + 9), (b, h, w, c)) * 0.5
+    want_u, want_s = cab_chain_reference(x, *args)
+    got_u, got_s = cab_chain(x, *args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_cab_chain_matches_reference():
+    _run(b=2, h=24, w=32, c=12, mid=4)
+
+
+def test_cab_chain_single_strip():
+    # one strip covers the image: both halo ends are boundary-masked
+    _run(b=1, h=6, w=16, c=8, mid=4, seed=3)
+
+
+def test_cab_chain_wide_channels():
+    # c > mid * compress asymmetry plus multi-batch
+    _run(b=2, h=16, w=24, c=24, mid=8, seed=5)
+
+
+def test_kernel_plus_gate_matches_cab_module():
+    """u · sigmoid(MLP(mean(u))) == the CAB module output — the exact
+    composition models/hat.py uses (gate applied via fused_hab_block's
+    cab_scale operand)."""
+    b, h, w, c, compress, squeeze = 1, 16, 24, 12, 3, 4
+    m = CAB(c, compress, squeeze)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c)) * 0.5
+    variables = m.init(jax.random.PRNGKey(1), x)
+    p = variables["params"]
+    ln_w = jnp.ones((c,))
+    ln_b = jnp.zeros((c,))
+    want = m.apply(variables, apply_ln(x, ln_w, ln_b))
+
+    u, sums = cab_chain(x, ln_w, ln_b, p["conv1"]["kernel"],
+                        p["conv1"]["bias"], p["conv2"]["kernel"],
+                        p["conv2"]["bias"], interpret=True)
+    pooled = sums / (h * w)
+    midv = jax.nn.relu(jnp.einsum(
+        "bxyc,cd->bxyd", pooled, p["ca"]["fc1"]["kernel"].reshape(c, -1))
+        + p["ca"]["fc1"]["bias"])
+    gate = jax.nn.sigmoid(jnp.einsum(
+        "bxyc,cd->bxyd", midv, p["ca"]["fc2"]["kernel"].reshape(-1, c))
+        + p["ca"]["fc2"]["bias"])
+    got = u * gate
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
