@@ -205,8 +205,11 @@ class HAB(nn.Module):
                 # gate rides the kernel's cab_scale operand.
                 from ..ops.pallas.cab import cab_chain
                 cw1, cb1, cw2, cb2, qw1, qb1, qw2, qb2 = cab(raw=True)
+                # shifted blocks: the CAB branch's roll is folded into the
+                # kernel's store (output block permutation + 2-slice write)
                 cab_pre, sums = cab_chain(x, ln1_w, ln1_b, cw1, cb1,
-                                          cw2, cb2)
+                                          cw2, cb2, out_shift=self.shift)
+                cab_rolled = self.shift > 0
                 pooled = sums / (h * w)
                 mid = jax.nn.relu(jnp.einsum(
                     "bxyc,cd->bxyd", pooled, qw1.reshape(c, -1)) + qb1)
@@ -217,6 +220,7 @@ class HAB(nn.Module):
                 # the conv↔pallas relayouts dominate (PERF.md r4)
                 cab_pre = cab(apply_ln(x, ln1_w, ln1_b))
                 ca_scale = None
+                cab_rolled = False
             wqkv, bqkv, wproj, bproj, bias = attn_mod(x, raw=True)
             k1, b1, k2, b2 = mlp(x, raw=True)
             from ..ops.pallas.wattn import fused_hab_block
@@ -224,7 +228,8 @@ class HAB(nn.Module):
             if self.shift > 0:
                 sh = (-self.shift, -self.shift)
                 xs = jnp.roll(xs, sh, axis=(1, 2))
-                cxs = jnp.roll(cxs, sh, axis=(1, 2))
+                if not cab_rolled:
+                    cxs = jnp.roll(cxs, sh, axis=(1, 2))
             out = fused_hab_block(
                 xs, cxs, ln1_w, ln1_b, ln2_w, ln2_b, wqkv, bqkv, wproj,
                 bproj, k1, b1, k2, b2, bias, mask,

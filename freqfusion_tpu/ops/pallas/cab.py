@@ -41,7 +41,7 @@ from .wattn import MOSAIC_PARAMS, _gelu_exact, _ln, _mxu_dtype
 
 def _kernel(x_ref, xt2_ref, xt1_ref, xb1_ref, xb2_ref, lnw_ref, lnb_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, u_ref, sum_ref,
-            *, bh: int, h: int, mdt):
+            *, bh: int, h: int, mdt, out_shift: int = 0):
     i = pl.program_id(1)
     wp = x_ref.shape[2]          # W + 4 (caller W-pads by the 2-row halo)
     w = wp - 4
@@ -92,7 +92,15 @@ def _kernel(x_ref, xt2_ref, xt1_ref, xb1_ref, xb2_ref, lnw_ref, lnb_ref,
                                               (dy * 3 + dx + 1) * mid, :],
                                   preferred_element_type=jnp.float32)
     u = acc2 + b2_ref[0]
-    u_ref[0] = u.reshape(bh, w, c).astype(u_ref.dtype)
+    ub = u.reshape(bh, w, c).astype(u_ref.dtype)
+    if out_shift:
+        # W-roll by -out_shift folded into the store (the H-roll is a
+        # block permutation in the output index map)
+        s = out_shift
+        u_ref[0, :, :w - s, :] = ub[:, s:, :]
+        u_ref[0, :, w - s:, :] = ub[:, :s, :]
+    else:
+        u_ref[0] = ub
 
     part = jnp.sum(u, axis=0, keepdims=True).reshape(1, 1, 1, c)
 
@@ -106,18 +114,29 @@ def _kernel(x_ref, xt2_ref, xt1_ref, xb1_ref, xb2_ref, lnw_ref, lnb_ref,
 
 
 def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
-              mxu_dtype=None):
+              mxu_dtype=None, out_shift: int = 0):
     """LN1 + dense 3×3 (C→mid) + exact GELU + dense 3×3 (mid→C), fused.
 
     x [B,H,W,C] raw (pre-LN) input; w1 [3,3,C,mid], w2 [3,3,mid,C] (HWIO).
     Returns (u [B,H,W,C] in x.dtype, sums [B,1,1,C] f32) where sums is the
     spatial sum of u for the channel-attention pool (mean = sums / (H·W)).
+
+    out_shift > 0 returns jnp.roll(u, (-out_shift, -out_shift), (1, 2))
+    with the roll folded into the store: the H-roll is an output-block
+    permutation, the W-roll a two-slice write — saving the shifted HAB's
+    65 MB XLA roll of the CAB branch (models/hat.py).
     """
     b, h, w, c = x.shape
     mid = w1.shape[-1]
     mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
 
     bh = _pick_bh(h, w + 4, (c, c, mid, mid, c))
+    if out_shift:
+        assert 0 < out_shift < min(h, w), (out_shift, h, w)
+        while out_shift % bh:
+            bh -= 1
+            while h % bh:
+                bh -= 1
     nb = h // bh
     xp = jnp.pad(x, [(0, 0), (0, 0), (2, 2), (0, 0)])
     wp = w + 4
@@ -142,13 +161,18 @@ def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
         pl.BlockSpec((9 * mid, c), const(0, 0), memory_space=pltpu.VMEM),
         vec(c),
     ]
+    if out_shift:
+        sh_b = out_shift // bh
+        u_map = lambda bi, i: (bi, (i - sh_b) % nb, 0, 0)
+    else:
+        u_map = lambda bi, i: (bi, i, 0, 0)
     out_specs = [
-        pl.BlockSpec((1, bh, w, c), lambda bi, i: (bi, i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bh, w, c), u_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 1, c), lambda bi, i: (bi, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    kernel = functools.partial(_kernel, bh=bh, h=h, mdt=mdt)
+    kernel = functools.partial(_kernel, bh=bh, h=h, mdt=mdt,
+                               out_shift=out_shift)
     u, sums = pl.pallas_call(
         kernel,
         grid=(b, nb),
@@ -166,6 +190,78 @@ def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
       w1.reshape(9 * c, mid).astype(mdt), f32(b1).reshape(1, -1),
       w2.reshape(9 * mid, c).astype(mdt), f32(b2).reshape(1, -1))
     return u, sums
+
+
+def _kernel_conv3(x_ref, xt1_ref, xb1_ref, w_ref, b_ref, o_ref,
+                  *, bh: int, h: int, mdt):
+    i = pl.program_id(1)
+    wp = x_ref.shape[2]          # W + 2 (caller W-pads by 1)
+    w = wp - 2
+    c = x_ref.shape[3]
+    cout = w_ref.shape[1]
+
+    xa = jnp.concatenate([xt1_ref[0], x_ref[0], xb1_ref[0]], axis=0)
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (bh + 2, 1, 1), 0)
+            + i * bh - 1)
+    rlive = ((rows >= 0) & (rows < h)).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+    clive = ((cols >= 1) & (cols < w + 1)).astype(jnp.float32)
+    z = (xa.astype(jnp.float32) * rlive * clive).astype(mdt)
+
+    acc = jnp.zeros((bh * w, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tap = z[dy:dy + bh, dx:dx + w, :].reshape(bh * w, c)
+            acc = acc + jnp.dot(tap, w_ref[(dy * 3 + dx) * c:
+                                           (dy * 3 + dx + 1) * c, :],
+                                preferred_element_type=jnp.float32)
+    o_ref[0] = (acc + b_ref[0]).reshape(bh, w, cout).astype(o_ref.dtype)
+
+
+def conv3x3_dense(x, w, b, interpret: bool = False, mxu_dtype=None):
+    """One dense SAME 3×3 conv [B,H,W,C]→[B,H,W,Cout] as a strip kernel.
+
+    For convs that sit *between* Mosaic kernels (HAT/DAT group-ending
+    convs, conv_after_body): XLA lowers a lone conv in its own layout and
+    each seam pays the transposing-relayout tax (PERF.md r4); this keeps
+    the chain pallas→pallas."""
+    b_, h, w_, c = x.shape
+    cout = w.shape[-1]
+    mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
+    bh = _pick_bh(h, w_ + 2, (c, c, cout))
+    xp = jnp.pad(x, [(0, 0), (0, 0), (1, 1), (0, 0)])
+    wp = w_ + 2
+
+    f32 = lambda t: t.astype(jnp.float32)
+    const = lambda *shape: (lambda bi, i: tuple(0 for _ in shape))
+    row = lambda rmap: pl.BlockSpec((1, 1, wp, c),
+                                    lambda bi, i: (bi, rmap(i), 0, 0),
+                                    memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, bh, wp, c), lambda bi, i: (bi, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        row(lambda i: jnp.maximum(i * bh - 1, 0)),
+        row(lambda i: jnp.minimum(i * bh + bh, h - 1)),
+        pl.BlockSpec((9 * c, cout), const(0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), const(0, 0), memory_space=pltpu.VMEM),
+    ]
+    kernel = functools.partial(_kernel_conv3, bh=bh, h=h, mdt=mdt)
+    return pl.pallas_call(
+        kernel,
+        grid=(b_, h // bh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bh, w_, cout),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_, h, w_, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_ * h * w_ * 9 * c * cout,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=MOSAIC_PARAMS,
+        interpret=interpret,
+    )(xp, xp, xp, w.reshape(9 * c, cout).astype(mdt),
+      f32(b).reshape(1, -1))
 
 
 def cab_chain_reference(x, ln_w, ln_b, w1, b1, w2, b2):

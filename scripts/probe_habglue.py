@@ -251,6 +251,23 @@ def main():
     go("composed_cabkernel_noshift",
        lambda *a: composed_cabkernel(*a, shift=0), mk_hab_inputs, n1=1, n2=4)
 
+    def composed_cabkernel_oshift(x, cxu, table, wqkv, bqkv, wproj, bproj,
+                                  w1, b1, w2, b2):
+        # the CAB-branch roll folded into the kernel store (out_shift)
+        u, sums = cab_chain(x, *cargs, out_shift=8)
+        pooled = sums / (H * WW)
+        mid = jax.nn.relu(jnp.einsum("bxyc,cd->bxyd", pooled, caw1) + cab1)
+        gate = jax.nn.sigmoid(jnp.einsum("bxyc,cd->bxyd", mid, caw2) + cab2)
+        bias = W.swin_bias_from_table(table, WS, WS)
+        xs = jnp.roll(x, (-8, -8), axis=(1, 2))
+        out = fused_hab_block(xs, u, *ln1, *ln1, wqkv, bqkv, wproj, bproj,
+                              w1, b1, w2, b2, bias, mask, (WS, WS), NH, 0.01,
+                              cab_scale=gate)
+        return jnp.roll(out, (8, 8), axis=(1, 2))
+
+    go("composed_cabkernel_oshift", composed_cabkernel_oshift,
+       mk_hab_inputs, n1=1, n2=4)
+
 
 if __name__ == "__main__":
     main()

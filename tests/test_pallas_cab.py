@@ -46,6 +46,49 @@ def test_cab_chain_wide_channels():
     _run(b=2, h=16, w=24, c=24, mid=8, seed=5)
 
 
+def test_cab_chain_out_shift_folds_the_roll():
+    """out_shift=s returns roll(u, (-s,-s)) with identical pooled sums —
+    the shifted-HAB composition models/hat.py uses."""
+    b, h, w, c, mid, s = 1, 24, 32, 12, 4, 4
+    args = _params(c, mid, seed=7)
+    x = jax.random.normal(jax.random.PRNGKey(11), (b, h, w, c)) * 0.5
+    want_u, want_s = cab_chain_reference(x, *args)
+    want_u = jnp.roll(want_u, (-s, -s), axis=(1, 2))
+    got_u, got_s = cab_chain(x, *args, interpret=True, out_shift=s)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=2e-3, rtol=1e-4)
+
+
+def test_cab_chain_out_shift_odd_strip():
+    # shift not a multiple of the budget-picked bh: bh must re-derive
+    b, h, w, c, mid, s = 1, 18, 24, 8, 4, 3
+    args = _params(c, mid, seed=13)
+    x = jax.random.normal(jax.random.PRNGKey(17), (b, h, w, c)) * 0.5
+    want_u, _ = cab_chain_reference(x, *args)
+    want_u = jnp.roll(want_u, (-s, -s), axis=(1, 2))
+    got_u, _ = cab_chain(x, *args, interpret=True, out_shift=s)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_conv3x3_dense_matches_xla():
+    from freqfusion_tpu.ops.pallas.cab import conv3x3_dense
+    k = jax.random.PRNGKey
+    for b, h, w, c, cout, seed in ((2, 24, 32, 12, 8, 0), (1, 6, 16, 8, 8, 3)):
+        x = jax.random.normal(k(seed), (b, h, w, c)) * 0.5
+        wk = jax.random.normal(k(seed + 1), (3, 3, c, cout)) * (0.3 / c)
+        bk = 0.1 * jax.random.normal(k(seed + 2), (cout,))
+        want = jax.lax.conv_general_dilated(
+            x, wk, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST) + bk
+        got = conv3x3_dense(x, wk, bk, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=1e-4)
+
+
 def test_kernel_plus_gate_matches_cab_module():
     """u · sigmoid(MLP(mean(u))) == the CAB module output — the exact
     composition models/hat.py uses (gate applied via fused_hab_block's
