@@ -30,7 +30,7 @@ import numpy as np
 
 from ..ops import windows as W
 from ..ops.common import pixel_shuffle
-from .layers import _DenseParams, _LNParams, apply_ln
+from .layers import SeamConv, _DenseParams, _LNParams, apply_ln
 from .nafnet import _ConvParams
 
 RGB_MEAN = (0.4488, 0.4371, 0.4040)
@@ -467,7 +467,7 @@ class ResidualGroup(nn.Module):
             x = DATB(self.dim, self.num_heads, self.split_size, self.expansion,
                      j % 2 == 0, _should_shift(self.rg_idx, j),
                      self.use_pallas, name=f"blocks_{j}")(x)
-        x = nn.Conv(self.dim, (3, 3), name="conv")(x)
+        x = SeamConv(self.dim, self.use_pallas, name="conv")(x)
         return res + x
 
 
@@ -530,7 +530,8 @@ class DAT(nn.Module):
                                      self.split_size, self.expansion, i,
                                      self.use_pallas, name=f"layers_{i}")(feat)
         feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
-        deep = nn.Conv(self.embed_dim, (3, 3), name="conv_after_body")(feat)
+        deep = SeamConv(self.embed_dim, self.use_pallas,
+                        name="conv_after_body")(feat)
         x = deep + x
 
         x = nn.Conv(self.num_feat, (3, 3), name="conv_before_upsample")(x)

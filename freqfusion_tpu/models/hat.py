@@ -31,7 +31,8 @@ import numpy as np
 from ..ops import windows as W
 from ..ops.common import pixel_shuffle
 
-from .layers import _DenseParams, _LNParams, apply_ln  # canonical raw-param helpers
+from .layers import (SeamConv, _DenseParams, _LNParams,  # canonical raw-param helpers
+                     apply_ln)
 
 RGB_MEAN = (0.4488, 0.4371, 0.4040)
 
@@ -395,7 +396,7 @@ class RHAG(nn.Module):
                         self.mlp_ratio, self.use_pallas, name=f"blocks_{i}")(x)
         x = OCAB(self.dim, self.window, self.overlap_ratio, self.num_heads,
                  self.mlp_ratio, self.use_pallas, name="overlap_attn")(x)
-        x = nn.Conv(self.dim, (3, 3), name="conv")(x)
+        x = SeamConv(self.dim, self.use_pallas, name="conv")(x)
         return res + x
 
 
@@ -445,7 +446,8 @@ class HAT(nn.Module):
                             self.overlap_ratio, self.mlp_ratio,
                             self.use_pallas, name=f"layers_{i}")(feat)
         feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
-        deep = nn.Conv(self.embed_dim, (3, 3), name="conv_after_body")(feat)
+        deep = SeamConv(self.embed_dim, self.use_pallas,
+                        name="conv_after_body")(feat)
         x = deep + x
 
         x = nn.Conv(self.num_feat, (3, 3), name="conv_before_upsample")(x)

@@ -10,9 +10,44 @@ affine in models/dat.py instead).
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from flax.linen.dtypes import promote_dtype
+
+
+class SeamConv(nn.Module):
+    """3×3 SAME conv that sits *between* Mosaic kernels (HAT/DAT
+    group-ending convs, conv_after_body). A lone XLA conv at a pallas
+    boundary pays transposing relayouts on both sides — measured 10.09 ms
+    for kernel→conv→kernel vs 8.26 with the conv as a Pallas strip kernel
+    at the whole-image bench shape (scripts/probe_seams.py, PERF.md r4) —
+    so on TPU this runs ops/pallas/cab.conv3x3_dense, keeping the chain
+    pallas→pallas. Param tree matches nn.Conv ({kernel, bias}); numerics
+    off-TPU are nn.Conv's exactly (same promote_dtype + lax conv).
+    Reference: the lone convs in hat_arch.py (RHAG) / dat_arch.py (resi).
+    FREQFUSION_SEAM_KERNEL=0 restores the XLA conv everywhere."""
+
+    features: int
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=None)
+        if (self.use_pallas and not self.is_initializing()
+                and jax.default_backend() == "tpu"
+                and os.environ.get("FREQFUSION_SEAM_KERNEL", "1") != "0"):
+            from ..ops.pallas.cab import conv3x3_dense
+            return conv3x3_dense(x, kernel, bias)
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
 
 
 def gelu(x):

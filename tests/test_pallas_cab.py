@@ -89,6 +89,26 @@ def test_conv3x3_dense_matches_xla():
                                    atol=5e-5, rtol=1e-4)
 
 
+def test_seam_conv_is_a_drop_in_for_nn_conv():
+    """SeamConv (models/layers.py) must accept an nn.Conv param tree
+    unchanged and reproduce its numerics exactly off-TPU — the group-ending
+    convs it replaced load from the same checkpoints (utils/convert.py)."""
+    import flax.linen as nn
+    from freqfusion_tpu.models.layers import SeamConv
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 12, 6)) * 0.5
+    ref = nn.Conv(8, (3, 3))
+    v = ref.init(jax.random.PRNGKey(1), x)
+    want = ref.apply(v, x)
+    got = SeamConv(8, use_pallas=True).apply(v, x)  # gate off-TPU → XLA path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+    # init produces the same tree (names AND shapes) as nn.Conv
+    v2 = SeamConv(8).init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(v)
+    assert all(a.shape == b.shape for a, b in zip(
+        jax.tree_util.tree_leaves(v2), jax.tree_util.tree_leaves(v)))
+
+
 def test_kernel_plus_gate_matches_cab_module():
     """u · sigmoid(MLP(mean(u))) == the CAB module output — the exact
     composition models/hat.py uses (gate applied via fused_hab_block's
