@@ -93,6 +93,7 @@ class CAB(nn.Module):
         ca = ChannelAttention(c, self.squeeze, name="ca")
         if raw:
             return (w1, b1, w2, b2) + tuple(ca(raw=True))
+        assert x is not None, "CAB: x is required unless raw=True"
         # thin-channel conv pair: lowering is env-selectable (FREQFUSION_
         # CAB_IMPL) — XLA's native conv runs it at ~25% MXU util (PERF.md)
         from ..ops.convchain import conv3x3_chain

@@ -131,12 +131,23 @@ def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
     mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
 
     bh = _pick_bh(h, w + 4, (c, c, mid, mid, c))
+    xla_roll = False
     if out_shift:
         assert 0 < out_shift < min(h, w), (out_shift, h, w)
+        bh0 = bh
         while out_shift % bh:
             bh -= 1
             while h % bh:
                 bh -= 1
+        if bh < min(4, bh0):
+            # heights sharing few factors with the shift collapse to 1-2-row
+            # strips — a silent perf cliff (ADVICE r4 #2). Keep the VMEM-
+            # optimal strip height and do the roll in XLA instead.
+            import logging
+            logging.getLogger(__name__).warning(
+                "cab_chain: out_shift=%d forces bh=%d at h=%d (optimal %d); "
+                "falling back to an XLA roll", out_shift, bh, h, bh0)
+            bh, xla_roll = bh0, True
     nb = h // bh
     xp = jnp.pad(x, [(0, 0), (0, 0), (2, 2), (0, 0)])
     wp = w + 4
@@ -161,7 +172,7 @@ def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
         pl.BlockSpec((9 * mid, c), const(0, 0), memory_space=pltpu.VMEM),
         vec(c),
     ]
-    if out_shift:
+    if out_shift and not xla_roll:
         sh_b = out_shift // bh
         u_map = lambda bi, i: (bi, (i - sh_b) % nb, 0, 0)
     else:
@@ -172,7 +183,7 @@ def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
                      memory_space=pltpu.VMEM),
     ]
     kernel = functools.partial(_kernel, bh=bh, h=h, mdt=mdt,
-                               out_shift=out_shift)
+                               out_shift=0 if xla_roll else out_shift)
     u, sums = pl.pallas_call(
         kernel,
         grid=(b, nb),
@@ -189,6 +200,8 @@ def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
     )(xp, xp, xp, xp, xp, f32(ln_w).reshape(1, -1), f32(ln_b).reshape(1, -1),
       w1.reshape(9 * c, mid).astype(mdt), f32(b1).reshape(1, -1),
       w2.reshape(9 * mid, c).astype(mdt), f32(b2).reshape(1, -1))
+    if xla_roll:
+        u = jnp.roll(u, (-out_shift, -out_shift), axis=(1, 2))
     return u, sums
 
 

@@ -126,4 +126,91 @@ def test_swt_loss_any_wavelet():
     np.testing.assert_allclose(losses.wavelet_filters("sym2")[0],
                                losses.wavelet_filters("db2")[0])
     with pytest.raises(ValueError):
-        losses.wavelet_filters("bior2.2")
+        losses.wavelet_filters("dmey")
+
+
+def test_bior_construction_matches_published_tables():
+    """The CDF spline construction reproduces the published bior1.3/2.2
+    dec_lo tables and the 9/7 (bior4.4) analysis filter (VERDICT r4 #8)."""
+    lo, _ = losses.wavelet_filters("bior1.3")
+    np.testing.assert_allclose(lo, [-0.08838834764831845, 0.08838834764831845,
+                                    0.7071067811865476, 0.7071067811865476,
+                                    0.08838834764831845,
+                                    -0.08838834764831845], atol=1e-12)
+    lo, _ = losses.wavelet_filters("bior2.2")
+    np.testing.assert_allclose(lo, [-0.17677669529663689, 0.35355339059327379,
+                                    1.0606601717798214, 0.35355339059327379,
+                                    -0.17677669529663689], atol=1e-12)
+    lo, _ = losses.wavelet_filters("bior4.4")
+    np.testing.assert_allclose(
+        lo, [0.037828455506995, -0.023849465019380, -0.110624404418423,
+             0.377402855612654, 0.852698679009403, 0.377402855612654,
+             -0.110624404418423, -0.023849465019380, 0.037828455506995],
+        atol=1e-9)
+    # rbio swaps the pair: its dec_lo is bior's spline (rec) side
+    lo, _ = losses.wavelet_filters("rbio2.2")
+    np.testing.assert_allclose(
+        sorted(np.round(lo, 10)), sorted([0.0, 0.35355339059327379,
+                                          0.7071067811865476,
+                                          0.35355339059327379, 0.0]))
+    with pytest.raises(ValueError):
+        losses.wavelet_filters("bior5.5")   # non-spline construction
+
+
+@pytest.mark.parametrize("name,n", [("sym4", 4), ("sym8", 8), ("sym11", 11),
+                                    ("sym15", 15), ("coif1", 1), ("coif3", 3),
+                                    ("coif5", 5)])
+def test_sym_coif_filter_properties(name, n):
+    """Orthonormality + vanishing moments for the pinned/constructed sym and
+    coif families; coiflets additionally have vanishing scaling moments
+    about k=2N (their defining property)."""
+    lo, hi = losses.wavelet_filters(name)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    assert len(lo) == (2 * n if name.startswith("sym") else 6 * n)
+    np.testing.assert_allclose(lo.sum(), np.sqrt(2.0), atol=1e-9)
+    for m in range(len(lo) // 2):
+        expect = 1.0 if m == 0 else 0.0
+        np.testing.assert_allclose((lo[2 * m:] * lo[:len(lo) - 2 * m]).sum(),
+                                   expect, atol=1e-7)
+    # centered moments: equivalent (any degree-m polynomial annihilates)
+    # and numerically well-conditioned, unlike raw k^m at high orders
+    k = np.arange(len(hi)) - (len(hi) - 1) / 2.0
+    n_mom = n if name.startswith("sym") else 2 * n
+    for mom in range(n_mom):
+        scale = (np.abs(hi) * np.maximum(np.abs(k), 1) ** mom).sum()
+        assert abs((hi * k**mom).sum()) / scale < 1e-7, (name, mom)
+    if name.startswith("coif"):
+        # rec_lo = dec_lo reversed; scaling moments about the center 2N
+        h = lo[::-1]
+        kr = np.arange(len(h)) - 2.0 * n
+        for mom in range(1, 2 * n):
+            scale = (np.abs(h) * np.maximum(np.abs(kr), 1) ** mom).sum()
+            assert abs((h * kr ** mom).sum()) / scale < 1e-7
+
+
+def test_symlet_pinned_table_anchor():
+    """sym4's pinned table is the published one (spot-check endpoints) and
+    is more symmetric than minimal-phase db4 (the least-asymmetric point)."""
+    lo, _ = losses.wavelet_filters("sym4")
+    np.testing.assert_allclose(lo[0], -0.07576571478927333, atol=1e-12)
+    np.testing.assert_allclose(lo[-1], 0.0322231006040427, atol=1e-12)
+
+    def phase_dev(h):
+        w = np.linspace(1e-4, np.pi - 1e-4, 512)
+        ph = np.unwrap(np.angle(np.polyval(h, np.exp(-1j * w))))
+        A = np.vstack([w, np.ones_like(w)]).T
+        coef, *_ = np.linalg.lstsq(A, ph, rcond=None)
+        return float(np.max(np.abs(ph - A @ coef)))
+
+    db4 = np.asarray(losses.wavelet_filters("db4")[0])
+    assert phase_dev(np.asarray(lo)) < phase_dev(db4)
+
+
+def test_swt_loss_all_families():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(size=(1, 24, 24, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(1, 24, 24, 3)).astype(np.float32))
+    for w in ("sym5", "sym12", "coif2", "bior2.4", "bior3.3", "bior4.4",
+              "rbio1.3"):
+        assert float(losses.swt_loss(a, b, w, 2)) > 0.0, w
+        assert float(losses.swt_loss(a, a, w, 2)) < 1e-6, w

@@ -73,6 +73,25 @@ def test_cab_chain_out_shift_odd_strip():
                                atol=5e-5, rtol=1e-4)
 
 
+def test_cab_chain_out_shift_bh_cliff_falls_back_to_xla_roll(caplog):
+    """h sharing few factors with the shift (42 vs 8 → bh=2) must not
+    silently collapse to thin strips: the roll falls back to XLA with a
+    warning and the result is unchanged (ADVICE r4 #2)."""
+    import logging
+    b, h, w, c, mid, s = 1, 42, 24, 8, 4, 8
+    args = _params(c, mid, seed=19)
+    x = jax.random.normal(jax.random.PRNGKey(23), (b, h, w, c)) * 0.5
+    want_u, _ = cab_chain_reference(x, *args)
+    want_u = jnp.roll(want_u, (-s, -s), axis=(1, 2))
+    with caplog.at_level(logging.WARNING,
+                         logger="freqfusion_tpu.ops.pallas.cab"):
+        got_u, _ = cab_chain(x, *args, interpret=True, out_shift=s)
+    assert any("falling back to an XLA roll" in r.getMessage()
+               for r in caplog.records)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_conv3x3_dense_matches_xla():
     from freqfusion_tpu.ops.pallas.cab import conv3x3_dense
     k = jax.random.PRNGKey
