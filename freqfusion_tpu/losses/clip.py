@@ -2,13 +2,17 @@
 
 Re-design of the reference CLIPPerceptualLoss
 (/root/reference/src/losses/perceptual_loss.py:856-989). The OpenAI CLIP
-weights (and the text encoder needed to embed the prompts) cannot be
-fetched in this zero-egress environment, but the image tower + converter
-are real: point `weights_path` at an OpenAI CLIP state dict
-(`visual.*` keys) that also carries the reference's precomputed
-`positive_features`/`negative_features` prompt buffers, and the loss is
-live. Structural conversion is tested with synthetic torch-layout state
-dicts in tests/test_clip_loss.py.
+weights cannot be fetched in this zero-egress environment, but the full
+loss goes live from a STOCK OpenAI CLIP state dict: when the checkpoint
+carries the text-side keys (`token_embedding/transformer.*/ln_final/
+text_projection`) and a BPE vocab is reachable (`bpe_path` or
+FREQFUSION_CLIP_BPE), the reference's positive/negative prompt strings
+(perceptual_loss.py:900-916) are embedded at init through the native CLIP
+text transformer (utils/clipiqa.py), exactly as the reference does with
+`clip.tokenize` + `encode_text`. Checkpoints that instead carry
+precomputed `positive_features`/`negative_features` buffers keep working.
+Structural conversion is tested with synthetic torch-layout state dicts in
+tests/test_clip_loss.py.
 
 Faithful semantics notes:
 - the reference encodes images under `torch.no_grad()`, so the loss is a
@@ -32,6 +36,22 @@ from ..ops.resize import resize
 
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+# The reference's SR-tuned prompt lists (perceptual_loss.py:900-916)
+POSITIVE_PROMPTS = (
+    "a high quality detailed sharp photograph",
+    "a professional clear image with fine details",
+    "a sharp high resolution photo with crisp edges",
+    "a perfectly focused detailed photograph",
+    "an ultra high definition clear image",
+)
+NEGATIVE_PROMPTS = (
+    "a blurry low quality noisy image",
+    "an unclear distorted photograph",
+    "a low resolution blurry picture",
+    "a pixelated degraded image",
+    "an out of focus fuzzy photo",
+)
 
 
 def quick_gelu(x):
@@ -129,25 +149,38 @@ class CLIPPerceptualLoss:
     Weights resolution order: explicit `(params, pos_features,
     neg_features)`, then `weights_path`, then FREQFUSION_CLIP_WEIGHTS;
     without any, the constructor raises and CombinedLoss redirects the clip
-    weight to the FFT loss — live the moment a checkpoint lands.
+    weight to the FFT loss — live the moment a checkpoint lands. Prompt
+    features come from (in order): explicit buffers, the checkpoint's
+    `positive_features`/`negative_features` buffers, or — the reference's
+    own path — embedding the prompt strings through the checkpoint's text
+    tower with the BPE tokenizer (`bpe_path` or FREQFUSION_CLIP_BPE).
     """
 
     def __init__(self, quality_threshold: float = 0.5, params=None,
                  pos_features=None, neg_features=None,
                  weights_path: Optional[str] = None,
-                 model: Optional[CLIPVisionTransformer] = None):
+                 model: Optional[CLIPVisionTransformer] = None,
+                 bpe_path: Optional[str] = None,
+                 positive_prompts=POSITIVE_PROMPTS,
+                 negative_prompts=NEGATIVE_PROMPTS):
         self.quality_threshold = float(quality_threshold)
-        self.model = model if model is not None else CLIPVisionTransformer()
+        self.model = model
         weights_path = weights_path or os.environ.get(
             "FREQFUSION_CLIP_WEIGHTS")
         if params is None and weights_path and os.path.exists(weights_path):
-            params, pos_features, neg_features = load_clip_params(
-                self.model, weights_path)
+            self.model, params, pos_features, neg_features = load_clip_params(
+                self.model, weights_path, bpe_path=bpe_path,
+                positive_prompts=positive_prompts,
+                negative_prompts=negative_prompts)
+        if self.model is None:
+            self.model = CLIPVisionTransformer()
         if params is None or pos_features is None or neg_features is None:
             raise RuntimeError(
                 "CLIP pretrained weights unavailable (set "
-                "FREQFUSION_CLIP_WEIGHTS or pass params + prompt features); "
-                "CombinedLoss redirects the clip weight to the FFT loss")
+                "FREQFUSION_CLIP_WEIGHTS — a stock OpenAI CLIP state dict "
+                "plus FREQFUSION_CLIP_BPE embeds the reference prompts "
+                "natively — or pass params + prompt features); CombinedLoss "
+                "redirects the clip weight to the FFT loss")
         self.params = params
 
         def _norm(f):
@@ -171,12 +204,26 @@ class CLIPPerceptualLoss:
         return jax.nn.relu(self.quality_threshold - quality + 0.1).mean()
 
 
-def load_clip_params(model: CLIPVisionTransformer, weights_path: str):
-    """Convert an OpenAI CLIP state dict (`visual.*` keys, optionally with
-    the reference's precomputed prompt-feature buffers)."""
+def load_clip_params(model: Optional[CLIPVisionTransformer],
+                     weights_path: str, bpe_path: Optional[str] = None,
+                     positive_prompts=POSITIVE_PROMPTS,
+                     negative_prompts=NEGATIVE_PROMPTS):
+    """Convert an OpenAI CLIP state dict into (vision_module, vision
+    variables, pos_features, neg_features).
+
+    Prompt features: precomputed `positive_features`/`negative_features`
+    buffers win if present; otherwise, when the state dict carries the
+    text-side keys and a BPE vocab is reachable, the prompt strings are
+    embedded through the native CLIP text transformer — the reference's
+    init-time `clip.tokenize` + `encode_text` path
+    (perceptual_loss.py:918-933). A vision `model=None` is inferred from
+    the checkpoint shapes (any ViT CLIP size)."""
     from ..utils import convert as cv
 
     sd = cv.load_torch_checkpoint(weights_path)
+    if model is None:
+        from ..utils.clipiqa import infer_clip_config
+        model = infer_clip_config(sd)[0]
     # shape-only init (a real model.init runs the whole tower forward)
     variables = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
@@ -186,4 +233,31 @@ def load_clip_params(model: CLIPVisionTransformer, weights_path: str):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     pos = sd.get("positive_features")
     neg = sd.get("negative_features")
-    return {"params": params}, pos, neg
+    if pos is None or neg is None:
+        bpe_path = bpe_path or os.environ.get("FREQFUSION_CLIP_BPE")
+        if "token_embedding.weight" in sd and bpe_path \
+                and os.path.exists(bpe_path):
+            pos, neg = _embed_prompts(sd, bpe_path, positive_prompts,
+                                      negative_prompts)
+    return model, {"params": params}, pos, neg
+
+
+def _embed_prompts(sd, bpe_path: str, positive_prompts, negative_prompts):
+    """Embed the prompt lists through the checkpoint's own text tower."""
+    # lazy import: utils.clipiqa imports this module at load time
+    from ..utils import convert as cv
+    from ..utils.clipiqa import (SimpleBPETokenizer, clip_text_key_fn,
+                                 infer_clip_config)
+
+    text = infer_clip_config(sd)[1]
+    tvars = jax.eval_shape(
+        lambda: text.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, text.context), jnp.int32)))
+    tparams, _ = cv.fill_params(tvars["params"], sd, clip_text_key_fn,
+                                strict=True)
+    tparams = {"params": jax.tree_util.tree_map(jnp.asarray, tparams)}
+    tokenizer = SimpleBPETokenizer(bpe_path)
+    ids = jnp.asarray(tokenizer.tokenize(
+        list(positive_prompts) + list(negative_prompts), text.context))
+    feats = np.asarray(jax.jit(text.apply)(tparams, ids))
+    return (feats[: len(positive_prompts)], feats[len(positive_prompts):])
