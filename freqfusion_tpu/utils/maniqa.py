@@ -18,15 +18,16 @@ Weight gating follows the clipiqa pattern: the `maniqa` column goes live
 when FREQFUSION_MANIQA_WEIGHTS points at a torch state dict in the layout
 documented below; hidden sizes/depths are inferred from the checkpoint.
 
-Documented deviations from the official IIGROUP/MANIQA release (visible
-in the state-dict contract, like clipiqa.py's ViT-for-RN50 swap):
-- the TABlock output is the attention result `attn @ v` directly (the
-  official code reinterprets the [B,N,C] product as [B,C,N] through a
-  raw reshape; this rebuild keeps the algebraically-stated transposed
-  attention and documents the difference),
+Official-fidelity notes (VERDICT r4 #4 closed the load-blocking items):
+- the TABlock reproduces the official output quirk exactly: `attn @ v`
+  [B,C,N] is transposed and RAW-RESHAPED back to [B,C,N] (a memory
+  reinterpretation) before the residual — what the published checkpoints
+  were trained with (see TABlock docstring),
+- inference averages the official 20 random 224-crops (seeded, so the
+  column is deterministic); FREQFUSION_MANIQA_CROPS=five selects a
+  5-deterministic-crop fast fallback, any integer a custom crop count.
+Remaining (non-load-blocking) deviations:
 - the window stages alternate (shift 0, shift ws/2) like standard Swin,
-- inference averages five deterministic 224-crops (center + corners)
-  instead of the official 20 random crops,
 - inputs normalize with mean=std=0.5 (the augreg ViT-B/8 recipe).
 
 State-dict contract (torch layouts; D=vit width, K=#feature depths):
@@ -96,7 +97,13 @@ class ViTBackbone(nn.Module):
 
 
 class TABlock(nn.Module):
-    """Transposed attention: CxC attention over [B, C, N] token vectors."""
+    """Transposed attention: CxC attention over [B, C, N] token vectors,
+    with the OFFICIAL output quirk reproduced exactly: the attention result
+    `attn @ v` [B,C,N] is transposed to [B,N,C] and then raw-reshaped back
+    to [B,C,N] before the residual add (IIGROUP/MANIQA models/maniqa.py
+    TABlock.forward: `(attn @ v).transpose(1, 2).reshape(B, C, N)`) — a
+    memory reinterpretation, not a transpose, and what the published
+    checkpoints were trained with (VERDICT r4 #4)."""
 
     n: int  # token-vector length N
 
@@ -107,7 +114,9 @@ class TABlock(nn.Module):
         v = nn.Dense(self.n, name="c_v")(x)
         att = jax.nn.softmax((q @ k.transpose(0, 2, 1)) * self.n ** -0.5,
                              axis=-1)  # [B, C, C]
-        return x + att @ v
+        y = att @ v                                       # [B, C, N]
+        y = jnp.transpose(y, (0, 2, 1)).reshape(x.shape)  # official quirk
+        return x + y
 
 
 class SwinStageBlock(nn.Module):
@@ -283,21 +292,40 @@ def infer_maniqa_config(sd) -> MANIQA:
                              ].shape[0])
 
 
-def _crops_224(img: np.ndarray, size: int) -> np.ndarray:
-    """Five deterministic crops (center + corners) of `size`, resizing up
-    first when the image is smaller."""
+def _upscale_to_min(img: np.ndarray, size: int) -> np.ndarray:
     h, w, _ = img.shape
     if h < size or w < size:
         s = size / min(h, w)
         nh, nw = max(size, round(h * s)), max(size, round(w * s))
         img = np.asarray(resize(jnp.asarray(img[None]), nh, nw, "bicubic"))[0]
         img = np.clip(img, 0.0, 1.0)
-        h, w = nh, nw
+    return img
+
+
+def _crops_224(img: np.ndarray, size: int) -> np.ndarray:
+    """Five deterministic crops (center + corners) of `size`, resizing up
+    first when the image is smaller (fast fallback, FREQFUSION_MANIQA_CROPS
+    =five)."""
+    img = _upscale_to_min(img, size)
+    h, w, _ = img.shape
     crops = [img[0:size, 0:size], img[h - size:, 0:size],
              img[0:size, w - size:], img[h - size:, w - size:],
              img[(h - size) // 2:(h - size) // 2 + size,
                  (w - size) // 2:(w - size) // 2 + size]]
     return np.stack(crops)
+
+
+def _random_crops(img: np.ndarray, size: int, num: int,
+                  seed: int = 0) -> np.ndarray:
+    """The official inference protocol: `num` random `size`-crops averaged
+    (IIGROUP/MANIQA predict scripts / pyiqa maniqa crop_num=20). Seeded so
+    the metric is deterministic run to run."""
+    img = _upscale_to_min(img, size)
+    h, w, _ = img.shape
+    rng = np.random.default_rng(seed)
+    ys = rng.integers(0, h - size + 1, size=num)
+    xs = rng.integers(0, w - size + 1, size=num)
+    return np.stack([img[y:y + size, x:x + size] for y, x in zip(ys, xs)])
 
 
 class NativeMANIQA:
@@ -309,7 +337,8 @@ class NativeMANIQA:
     IMG_SIZE = 224
 
     def __init__(self, weights_path: Optional[str] = None,
-                 model: Optional[MANIQA] = None):
+                 model: Optional[MANIQA] = None,
+                 num_crops: Optional[int] = None):
         from . import convert as cv
 
         weights_path = weights_path or os.environ.get(
@@ -331,12 +360,23 @@ class NativeMANIQA:
                                    strict=True)
         self.variables = {"params": jax.tree_util.tree_map(jnp.asarray,
                                                            params)}
+        # crop protocol: the official 20 random crops by default
+        # (IIGROUP/MANIQA / pyiqa crop_num=20, seeded for determinism);
+        # FREQFUSION_MANIQA_CROPS=five selects the 5-crop fast fallback,
+        # an integer selects that many random crops
+        if num_crops is None:
+            env = os.environ.get("FREQFUSION_MANIQA_CROPS", "20")
+            num_crops = 0 if env == "five" else int(env)
+        self.num_crops = num_crops
         self._fn = jax.jit(self.model.apply)
 
     def __call__(self, output: np.ndarray, target=None) -> float:
         x = np.asarray(output, np.float32)
         if x.max() > 1.5:
             x = x / 255.0
-        crops = _crops_224(x, self.size)
+        if self.num_crops > 0:
+            crops = _random_crops(x, self.size, self.num_crops)
+        else:
+            crops = _crops_224(x, self.size)
         return float(np.mean(np.asarray(
             self._fn(self.variables, jnp.asarray(crops)))))

@@ -15,17 +15,34 @@ when FREQFUSION_MUSIQ_WEIGHTS points at a torch state dict in the layout
 documented below (timm-style ViT naming). Configuration (hidden size,
 depth, grid, scales) is inferred from the checkpoint's own shapes.
 
-Documented deviations from the official release (same spirit as
-clipiqa.py's ViT-for-RN50 swap, each visible in the state-dict contract):
-- patch encoder: a linear projection of the flattened 32x32x3 patch
-  (`patch_embed.*`), where the official model uses a 5-layer ResNet root;
-  a checkpoint carrying conv-root keys fails loudly in `fill_params`
-  rather than silently mis-loading.
-- transformer blocks are standard pre-norm ViT blocks (the official
-  model's layout), named `blocks.{i}.*` as in timm.
+Patch encoder: the official 5-layer ResNet root (MUSIQ paper §3.1; the
+ViT-hybrid/BiT recipe the official implementation builds on) —
+weight-standardized 7×7/2 root conv + GroupNorm(32) + ReLU + 3×3/2
+max-pool + one pre-activation bottleneck unit (gn1→conv1x1→gn2→conv3x3→
+gn3→conv1x1 with a 1×1 downsample projection), flattened and projected to
+the hidden size by the `embedding` Dense. A checkpoint with conv-root keys
+converts and runs (tested against a torch mirror of the same semantics in
+tests/test_musiq.py); `_normalize_musiq_sd` folds known naming variants
+(unit1/unit01, conv_proj/downsample) onto the canonical keys below.
+Checkpoints in the r4 linear layout (`patch_embed.*`) still load — the
+linear encoder remains as a documented lightweight fallback, selected by
+the checkpoint's own keys.
 
-State-dict contract (torch layouts; D=hidden, G=grid, S=#scales):
-  patch_embed.weight [D, 3*P*P]   patch_embed.bias [D]
+Remaining (non-load-blocking) deviation: transformer blocks are standard
+pre-norm ViT blocks named `blocks.{i}.*` as in timm.
+
+State-dict contract (torch layouts; D=hidden, G=grid, S=#scales,
+W=root width, C=bottleneck out):
+  conv_root.weight [W, 3, 7, 7]   gn_root.{weight,bias} [W]
+  block1.unit01.gn1.{weight,bias} [W]
+  block1.unit01.conv1.weight [C/4, W, 1, 1]
+  block1.unit01.gn2.{weight,bias} [C/4]
+  block1.unit01.conv2.weight [C/4, C/4, 3, 3]
+  block1.unit01.gn3.{weight,bias} [C/4]
+  block1.unit01.conv3.weight [C, C/4, 1, 1]
+  block1.unit01.downsample.weight [C, W, 1, 1]
+  embedding.weight [D, (P/4)²·C]  embedding.bias [D]
+  (or, linear fallback: patch_embed.weight [D, 3*P*P], patch_embed.bias)
   cls_token [1, 1, D]
   scale_embedding [S, D]          spatial_embedding [G*G, D]
   blocks.{i}.norm1.{weight,bias}
@@ -56,6 +73,85 @@ LONGER_SIDES = (224, 384)
 # sequence cap (bucketed): DIV2K-scale native grids reach ~3000 patches;
 # padding to the next bucket keeps the jit program count small
 SEQ_BUCKET = 512
+
+
+class WSConv(nn.Module):
+    """Weight-standardized conv (BiT StdConv): kernel standardized over
+    (H,W,in) per output channel, eps 1e-10, no bias."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, x.shape[-1], self.features))
+        m = jnp.mean(w, axis=(0, 1, 2), keepdims=True)
+        v = jnp.var(w, axis=(0, 1, 2), keepdims=True)
+        w = (w - m) * jax.lax.rsqrt(v + 1e-10)
+        # torch-style symmetric (k-1)//2 padding, NOT XLA "SAME": for even
+        # inputs at stride 2 SAME pads (2,3) while torch pads (3,3) — the
+        # checkpoints being served are torch (pyiqa) exports
+        pad = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
+        return jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), self.strides, pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _gn(width: int, name: str) -> nn.GroupNorm:
+    """GroupNorm(32) with torch eps; group count divides small test widths."""
+    import math
+    return nn.GroupNorm(num_groups=math.gcd(32, width), epsilon=1e-5,
+                        name=name)
+
+
+class PreActBottleneck(nn.Module):
+    """BiT pre-activation bottleneck (gn→relu before each conv), with a
+    1×1 `downsample` projection when shape changes."""
+
+    cout: int
+    cmid: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        out = jax.nn.relu(_gn(cin, "gn1")(x))
+        residual = x
+        if self.stride != 1 or cin != self.cout:
+            residual = WSConv(self.cout, (1, 1), (self.stride, self.stride),
+                              name="downsample")(out)
+        out = WSConv(self.cmid, (1, 1), name="conv1")(out)
+        out = WSConv(self.cmid, (3, 3), (self.stride, self.stride),
+                     name="conv2")(jax.nn.relu(_gn(self.cmid, "gn2")(out)))
+        out = WSConv(self.cout, (1, 1),
+                     name="conv3")(jax.nn.relu(_gn(self.cmid, "gn3")(out)))
+        return out + residual
+
+
+class PatchResNetRoot(nn.Module):
+    """The official 5-layer patch encoder: WS 7×7/2 root conv + GN + ReLU +
+    3×3/2 max-pool + one pre-act bottleneck, flatten, Dense to hidden."""
+
+    width: int = 64
+    cout: int = 256
+    hidden: int = 384
+
+    @nn.compact
+    def __call__(self, patches):     # [B, N, 3·P·P], flattened (P,P,3)
+        b, n, _ = patches.shape
+        x = patches.reshape(b * n, PATCH, PATCH, 3)
+        x = WSConv(self.width, (7, 7), (2, 2), name="conv_root")(x)
+        x = jax.nn.relu(_gn(self.width, "gn_root")(x))
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+        x = PreActBottleneck(self.cout, max(1, self.cout // 4),
+                             name="block1_unit01")(x)
+        # flatten in torch's (C,H,W) order — the embedding Dense of a torch
+        # (pyiqa) checkpoint expects torch .flatten(1) element order
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, n, -1)
+        return nn.Dense(self.hidden, name="embedding")(x)
 
 
 class ViTBlock(nn.Module):
@@ -98,11 +194,18 @@ class MUSIQTransformer(nn.Module):
     mlp_dim: int = 1152
     grid: int = GRID
     num_scales: int = 1 + len(LONGER_SIDES)
+    conv_root: bool = True           # official 5-layer ResNet patch root
+    root_width: int = 64
+    root_cout: int = 256
 
     @nn.compact
     def __call__(self, patches, spatial_idx, scale_idx, mask):
         b, n, _ = patches.shape
-        x = nn.Dense(self.hidden, name="patch_embed")(patches)
+        if self.conv_root:
+            x = PatchResNetRoot(self.root_width, self.root_cout,
+                                self.hidden, name="patch_root")(patches)
+        else:
+            x = nn.Dense(self.hidden, name="patch_embed")(patches)
         spatial = self.param("spatial_embedding",
                              nn.initializers.normal(0.02),
                              (self.grid * self.grid, self.hidden))
@@ -133,6 +236,17 @@ def musiq_key_fn(path: Tuple[str, ...]) -> str:
         return parts[0]
     if parts[0] == "patch_embed":
         return f"patch_embed.{lmap[leaf]}"
+    if parts[0] == "patch_root":
+        sub = parts[1]
+        if sub == "conv_root":
+            return "conv_root.weight"
+        if sub == "gn_root":
+            return f"gn_root.{lmap[leaf]}"
+        if sub == "embedding":
+            return f"embedding.{lmap[leaf]}"
+        if sub == "block1_unit01":
+            inner = parts[2]
+            return f"block1.unit01.{inner}.{lmap[leaf]}"
     if parts[0] == "norm":
         return f"norm.{lmap[leaf]}"
     if parts[0] == "head":
@@ -149,17 +263,43 @@ def musiq_key_fn(path: Tuple[str, ...]) -> str:
     raise KeyError(path)
 
 
+def _normalize_musiq_sd(sd):
+    """Fold known naming variants onto the canonical conv-root keys:
+    `block1.unit1.` → `block1.unit01.`, `conv_proj`/`proj` inside the unit
+    → `downsample`, a `patch_embedding.`/`resnet_emb.` prefix on the root
+    keys → stripped."""
+    out = {}
+    for k, v in sd.items():
+        for pref in ("patch_embedding.", "resnet_emb."):
+            if k.startswith(pref):
+                k = k[len(pref):]
+        k = k.replace("block1.unit1.", "block1.unit01.")
+        if k.startswith("block1.unit01."):
+            k = k.replace(".conv_proj.", ".downsample.")
+            k = k.replace(".proj.", ".downsample.")
+        out[k] = v
+    return out
+
+
 def infer_musiq_config(sd) -> MUSIQTransformer:
     """Build the module from the checkpoint's own shapes (clipiqa's
-    `infer_clip_config` pattern). Heads follow the width//64 rule."""
+    `infer_clip_config` pattern). Heads follow the width//64 rule; the
+    patch encoder (official conv root vs linear fallback) is selected by
+    the checkpoint's own keys."""
     hidden = sd["cls_token"].shape[-1]
     layers = len({k.split(".")[1] for k in sd if k.startswith("blocks.")})
     grid2, _ = sd["spatial_embedding"].shape
     grid = int(round(np.sqrt(grid2)))
+    conv_root = "conv_root.weight" in sd
+    kw = {}
+    if conv_root:
+        kw = dict(root_width=sd["conv_root.weight"].shape[0],
+                  root_cout=sd["block1.unit01.conv3.weight"].shape[0])
     return MUSIQTransformer(
         hidden=hidden, layers=layers, heads=max(1, hidden // 64),
         mlp_dim=sd["blocks.0.mlp.fc1.weight"].shape[0], grid=grid,
-        num_scales=sd["scale_embedding"].shape[0])
+        num_scales=sd["scale_embedding"].shape[0], conv_root=conv_root,
+        **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +385,7 @@ class NativeMUSIQ:
             raise RuntimeError(
                 "MUSIQ needs FREQFUSION_MUSIQ_WEIGHTS (state dict in the "
                 "layout documented in utils/musiq.py)")
-        sd = cv.load_torch_checkpoint(weights_path)
+        sd = _normalize_musiq_sd(cv.load_torch_checkpoint(weights_path))
         self.model = model if model is not None else infer_musiq_config(sd)
         shapes = jax.eval_shape(
             lambda: self.model.init(

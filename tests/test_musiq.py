@@ -167,6 +167,123 @@ def test_musiq_parity_vs_torch_mirror():
     np.testing.assert_allclose(ours[1], ours_trunc[0], atol=2e-4)
 
 
+def _synthetic_conv_root_sd(width=8, cout=16, hidden=32, layers=2, mlp=48,
+                            grid=5, scales=3, seed=0, alias=False):
+    """Conv-root (official-layout) synthetic checkpoint; `alias=True` uses
+    the unit1/conv_proj naming variants to exercise _normalize_musiq_sd."""
+    rng = np.random.default_rng(seed)
+    f = lambda *s: (rng.normal(size=s) * 0.1).astype(np.float32)
+    cmid = max(1, cout // 4)
+    flat = (PATCH // 4) ** 2 * cout
+    unit = "block1.unit1" if alias else "block1.unit01"
+    down = "conv_proj" if alias else "downsample"
+    sd = _synthetic_musiq_sd(hidden, layers, mlp, grid, scales, seed)
+    del sd["patch_embed.weight"], sd["patch_embed.bias"]
+    sd.update({
+        "conv_root.weight": f(width, 3, 7, 7),
+        "gn_root.weight": 1 + f(width), "gn_root.bias": f(width),
+        f"{unit}.gn1.weight": 1 + f(width), f"{unit}.gn1.bias": f(width),
+        f"{unit}.conv1.weight": f(cmid, width, 1, 1),
+        f"{unit}.gn2.weight": 1 + f(cmid), f"{unit}.gn2.bias": f(cmid),
+        f"{unit}.conv2.weight": f(cmid, cmid, 3, 3),
+        f"{unit}.gn3.weight": 1 + f(cmid), f"{unit}.gn3.bias": f(cmid),
+        f"{unit}.conv3.weight": f(cout, cmid, 1, 1),
+        f"{unit}.{down}.weight": f(cout, width, 1, 1),
+        "embedding.weight": f(hidden, flat), "embedding.bias": f(hidden),
+    })
+    return sd
+
+
+def _torch_conv_root(sd, patches):
+    """Torch mirror of the official patch root (BiT StdConv + GroupNorm +
+    max-pool + pre-act bottleneck + flatten + embedding Dense)."""
+    import math
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    b, n, _ = patches.shape
+    x = torch.from_numpy(patches).reshape(b * n, PATCH, PATCH, 3)
+    x = x.permute(0, 3, 1, 2).contiguous()
+
+    def std_conv(x, w, stride, padding):
+        v, m = torch.var_mean(w, dim=[1, 2, 3], keepdim=True,
+                              unbiased=False)
+        w = (w - m) / torch.sqrt(v + 1e-10)
+        return F.conv2d(x, w, None, stride, padding)
+
+    def gn(x, pre):
+        c = t[f"{pre}.weight"].shape[0]
+        return F.group_norm(x, math.gcd(32, c), t[f"{pre}.weight"],
+                            t[f"{pre}.bias"], eps=1e-5)
+
+    x = std_conv(x, t["conv_root.weight"], 2, 3)
+    x = F.relu(gn(x, "gn_root"))
+    x = F.max_pool2d(x, 3, 2, 1)
+    u = "block1.unit01"
+    out = F.relu(gn(x, f"{u}.gn1"))
+    residual = std_conv(out, t[f"{u}.downsample.weight"], 1, 0)
+    out = std_conv(out, t[f"{u}.conv1.weight"], 1, 0)
+    out = std_conv(F.relu(gn(out, f"{u}.gn2")), t[f"{u}.conv2.weight"], 1, 1)
+    out = std_conv(F.relu(gn(out, f"{u}.gn3")), t[f"{u}.conv3.weight"], 1, 0)
+    x = out + residual
+    x = x.flatten(1).reshape(b, n, -1)
+    return F.linear(x, t["embedding.weight"], t["embedding.bias"])
+
+
+@pytest.mark.skipif(not has_torch(), reason="torch unavailable")
+def test_musiq_conv_root_parity_vs_torch_mirror():
+    """VERDICT r4 #4: the official 5-layer ResNet patch root loads and
+    matches a torch mirror of the published semantics (WS conv, pre-act
+    bottleneck, torch padding/flatten conventions)."""
+    import jax
+    import jax.numpy as jnp
+    from freqfusion_tpu.utils import convert as cv
+    from freqfusion_tpu.utils.musiq import PatchResNetRoot, musiq_key_fn
+
+    sd = _synthetic_conv_root_sd()
+    model = infer_musiq_config(sd)
+    assert model.conv_root and model.root_width == 8 and model.root_cout == 16
+
+    rng = np.random.default_rng(11)
+    patches = rng.uniform(size=(2, 5, 3 * PATCH * PATCH)).astype(np.float32)
+    root = PatchResNetRoot(width=8, cout=16, hidden=32)
+    shapes = jax.eval_shape(lambda: root.init(jax.random.PRNGKey(0),
+                                              jnp.asarray(patches)))
+
+    def root_key_fn(path):
+        return musiq_key_fn(("patch_root",) + tuple(
+            p for p in path if p != "params"))
+
+    params, report = cv.fill_params(shapes["params"], sd, root_key_fn,
+                                    strict=True)
+    assert not report["missing"]
+    ours = np.asarray(root.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(patches)))
+    theirs = _torch_conv_root(sd, patches).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(not has_torch(), reason="torch unavailable")
+def test_musiq_conv_root_go_live_with_alias_names(tmp_path, monkeypatch):
+    """A conv-root checkpoint (incl. unit1/conv_proj naming variants)
+    converts with zero missing keys and scores an image end to end."""
+    import torch
+
+    sd = _synthetic_conv_root_sd(seed=9, alias=True)
+    path = tmp_path / "musiq_conv.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               path)
+    monkeypatch.setenv("FREQFUSION_MUSIQ_WEIGHTS", str(path))
+    tower = NativeMUSIQ()
+    assert tower.model.conv_root
+    rng = np.random.default_rng(6)
+    img = (rng.uniform(size=(70, 90, 3)) * 255).astype(np.uint8)
+    v = tower(img)
+    assert np.isfinite(v)
+
+
 @pytest.mark.skipif(not has_torch(), reason="torch unavailable")
 def test_musiq_go_live(tmp_path, monkeypatch):
     import torch
