@@ -297,6 +297,23 @@ class InferencePipeline:
             cache = self._whole_shapes = set()
         if (hp, wp) not in cache and \
                 len(cache) >= self.WHOLE_IMAGE_MAX_SHAPES:
+            # cache full: pad UP to an already-compiled dominating bucket
+            # when the overhead stays small — a few % of wasted compute
+            # beats the ~25% tiled-fallback cliff (VERDICT r5 #5; on real
+            # DIV2K-like shape spreads the cap otherwise bites: 510-wide
+            # frames bucket to 512xH for ~8 distinct H)
+            cand = [(ch * cw, ch, cw) for ch, cw in cache
+                    if ch >= hp and cw >= wp
+                    and ch - h < h and cw - w < w          # reflect limit
+                    and ch * cw <= hp * wp * 1.3]          # ≤30% overhead
+            if cand:
+                _, ch, cw = min(cand)
+                self._cliff_warn(
+                    ("padup", hp, wp, ch, cw),
+                    f"whole-image shape cache full: {w}x{h} (bucket "
+                    f"{wp}x{hp}) pads up to the compiled {cw}x{ch} bucket "
+                    f"(+{(ch * cw) / (hp * wp) - 1:.0%} compute)")
+                return ch, cw
             self._cliff_warn(
                 ("cap", hp, wp),
                 f"whole-image fallback → tiled: shape cache full "
