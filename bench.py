@@ -154,7 +154,13 @@ def main():
             lrps.append(np.repeat(p, WHOLE_BATCH, axis=0))
 
         def run_once():  # compiles every bucket's program
-            return [np.asarray(fwd_u8(variables, p)) for p in lrps]
+            outs = []
+            for i, p in enumerate(lrps):
+                tb = time.time()
+                outs.append(np.asarray(fwd_u8(variables, p)))
+                stage(f"bucket {i} ({p.shape[2]}x{p.shape[1]}) first pass "
+                      f"{time.time() - tb:.1f}s")
+            return outs
 
         def run_stream(n):
             # n cycles over the bucket list, pipelined across shape changes
@@ -188,6 +194,16 @@ def main():
     _ = run_once()
     warm_s = time.time() - t0
     stage(f"first pass done ({warm_s:.1f}s incl. trace+compile)")
+
+    if os.environ.get("FREQFUSION_BENCH_COMPILE_ONLY") == "1":
+        # prewarm mode (scripts/prewarm.py): every serving program is now in
+        # the persistent cache (.jax_cache); a subsequent fresh process
+        # skips XLA compilation for these buckets
+        print(json.dumps({
+            "metric": "prewarm_first_pass_s", "value": round(warm_s, 1),
+            "unit": "s", "buckets": len(lrps) if WHOLE_IMAGE else 1,
+            "total_s": round(time.time() - t_start, 1)}))
+        return
 
     # timed runs (steady-state over an image stream)
     runs = 4
