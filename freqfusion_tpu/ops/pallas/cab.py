@@ -41,7 +41,8 @@ from .wattn import MOSAIC_PARAMS, _gelu_exact, _ln, _mxu_dtype
 
 def _kernel(x_ref, xt2_ref, xt1_ref, xb1_ref, xb2_ref, lnw_ref, lnb_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, u_ref, sum_ref,
-            *, bh: int, h: int, mdt, out_shift: int = 0):
+            *, bh: int, h: int, mdt, out_shift: int = 0,
+            repack: bool = False):
     i = pl.program_id(1)
     wp = x_ref.shape[2]          # W + 4 (caller W-pads by the 2-row halo)
     w = wp - 4
@@ -64,16 +65,29 @@ def _kernel(x_ref, xt2_ref, xt1_ref, xb1_ref, xb2_ref, lnw_ref, lnb_ref,
     clive = ((cols >= 2) & (cols < w + 2)).astype(jnp.float32)
     z = (z * rlive * clive).astype(dt)
 
-    # conv1 (C→mid) over the out1 region [bh+2, w+2] — one tap = one MXU
-    # matmul on the shifted window view
+    # conv1 (C→mid) over the out1 region [bh+2, w+2]
     r1, q1 = bh + 2, w + 2
     acc = jnp.zeros((r1 * q1, mid), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = z[dy:dy + r1, dx:dx + q1, :].reshape(r1 * q1, c)
-            acc = acc + jnp.dot(tap, w1_ref[(dy * 3 + dx) * c:
-                                            (dy * 3 + dx + 1) * c, :],
+    if repack:
+        # 3-matmul repack (PERF.md r4 open lever): lane-concat the 3
+        # dx-shifted views ONCE (fresh aligned buffer), then one K=3C
+        # matmul per dy on an outer-dim slice — kills the 9 per-tap
+        # sublane-offset slice+reshape VMEM copies. Weight rows are
+        # already dy-major ((dy·3+dx)·c + i = dy·3c + dx·c + i).
+        zw = jnp.concatenate([z[:, dx:dx + q1, :] for dx in range(3)],
+                             axis=-1)  # [bh+4, q1, 3c]
+        for dy in range(3):
+            tap = zw[dy:dy + r1].reshape(r1 * q1, 3 * c)
+            acc = acc + jnp.dot(tap, w1_ref[dy * 3 * c:(dy + 1) * 3 * c, :],
                                 preferred_element_type=jnp.float32)
+    else:
+        # one tap = one MXU matmul on the shifted window view
+        for dy in range(3):
+            for dx in range(3):
+                tap = z[dy:dy + r1, dx:dx + q1, :].reshape(r1 * q1, c)
+                acc = acc + jnp.dot(tap, w1_ref[(dy * 3 + dx) * c:
+                                                (dy * 3 + dx + 1) * c, :],
+                                    preferred_element_type=jnp.float32)
     g = _gelu_exact(acc + b1_ref[0]).reshape(r1, q1, mid)
     # GELU(b1) ≠ 0: re-zero the out-of-image ring before conv2 reads it
     rows1 = (jax.lax.broadcasted_iota(jnp.int32, (r1, 1, 1), 0)
@@ -85,12 +99,24 @@ def _kernel(x_ref, xt2_ref, xt1_ref, xb1_ref, xb2_ref, lnw_ref, lnb_ref,
 
     # conv2 (mid→C) over the block's own [bh, w]
     acc2 = jnp.zeros((bh * w, c), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            tap = g[dy:dy + bh, dx:dx + w, :].reshape(bh * w, mid)
-            acc2 = acc2 + jnp.dot(tap, w2_ref[(dy * 3 + dx) * mid:
-                                              (dy * 3 + dx + 1) * mid, :],
+    if repack:
+        # caller pads mid up to the 128-lane grid (free on the MXU — N<128
+        # wastes the same array cycles) so this lane-dim concat stays at
+        # ≥128-lane pieces (sub-128 concats miscompile — PERF.md Mosaic)
+        gw = jnp.concatenate([g[:, dx:dx + w, :] for dx in range(3)],
+                             axis=-1)  # [bh+2, w, 3·mid]
+        for dy in range(3):
+            tap = gw[dy:dy + bh].reshape(bh * w, 3 * mid)
+            acc2 = acc2 + jnp.dot(tap, w2_ref[dy * 3 * mid:
+                                              (dy + 1) * 3 * mid, :],
                                   preferred_element_type=jnp.float32)
+    else:
+        for dy in range(3):
+            for dx in range(3):
+                tap = g[dy:dy + bh, dx:dx + w, :].reshape(bh * w, mid)
+                acc2 = acc2 + jnp.dot(tap, w2_ref[(dy * 3 + dx) * mid:
+                                                  (dy * 3 + dx + 1) * mid, :],
+                                      preferred_element_type=jnp.float32)
     u = acc2 + b2_ref[0]
     ub = u.reshape(bh, w, c).astype(u_ref.dtype)
     if out_shift:
@@ -114,7 +140,7 @@ def _kernel(x_ref, xt2_ref, xt1_ref, xb1_ref, xb2_ref, lnw_ref, lnb_ref,
 
 
 def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
-              mxu_dtype=None, out_shift: int = 0):
+              mxu_dtype=None, out_shift: int = 0, repack=None):
     """LN1 + dense 3×3 (C→mid) + exact GELU + dense 3×3 (mid→C), fused.
 
     x [B,H,W,C] raw (pre-LN) input; w1 [3,3,C,mid], w2 [3,3,mid,C] (HWIO).
@@ -129,8 +155,24 @@ def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
     b, h, w, c = x.shape
     mid = w1.shape[-1]
     mdt = _mxu_dtype(x.dtype, interpret, mxu_dtype)
+    if repack is None:
+        import os
+        repack = os.environ.get("FREQFUSION_CAB_REPACK", "0") == "1"
+    if repack:
+        # pad mid up to the 128-lane grid: free on the MXU (N<128 wastes
+        # the same cycles) and keeps conv2's lane-concat pieces ≥128 wide.
+        # gelu(b1_pad=0)=0 and w2's padded rows are zero → exact math.
+        midp = max(mid, -(-mid // 128) * 128)
+        if midp != mid:
+            w1 = jnp.pad(w1, [(0, 0), (0, 0), (0, 0), (0, midp - mid)])
+            b1 = jnp.pad(b1, [(0, midp - mid)])
+            w2 = jnp.pad(w2, [(0, 0), (0, 0), (0, midp - mid), (0, 0)])
+            mid = midp
+        chans = (c, 3 * c, mid, 3 * mid, c)
+    else:
+        chans = (c, c, mid, mid, c)
 
-    bh = _pick_bh(h, w + 4, (c, c, mid, mid, c))
+    bh = _pick_bh(h, w + 4, chans)
     xla_roll = False
     if out_shift:
         assert 0 < out_shift < min(h, w), (out_shift, h, w)
@@ -183,7 +225,8 @@ def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
                      memory_space=pltpu.VMEM),
     ]
     kernel = functools.partial(_kernel, bh=bh, h=h, mdt=mdt,
-                               out_shift=0 if xla_roll else out_shift)
+                               out_shift=0 if xla_roll else out_shift,
+                               repack=repack)
     u, sums = pl.pallas_call(
         kernel,
         grid=(b, nb),

@@ -21,11 +21,11 @@ def _params(c, mid, seed=0):
     return ln_w, ln_b, w1, b1, w2, b2
 
 
-def _run(b, h, w, c, mid, seed=0):
+def _run(b, h, w, c, mid, seed=0, repack=False):
     args = _params(c, mid, seed)
     x = jax.random.normal(jax.random.PRNGKey(seed + 9), (b, h, w, c)) * 0.5
     want_u, want_s = cab_chain_reference(x, *args)
-    got_u, got_s = cab_chain(x, *args, interpret=True)
+    got_u, got_s = cab_chain(x, *args, interpret=True, repack=repack)
     np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
                                atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
@@ -44,6 +44,27 @@ def test_cab_chain_single_strip():
 def test_cab_chain_wide_channels():
     # c > mid * compress asymmetry plus multi-batch
     _run(b=2, h=16, w=24, c=24, mid=8, seed=5)
+
+
+def test_cab_chain_repack_matches_reference():
+    """The 3-matmul lane-concat repack (FREQFUSION_CAB_REPACK) is exact:
+    mid pads to the 128-lane grid with zero weights/bias (gelu(0)=0)."""
+    _run(b=2, h=24, w=32, c=12, mid=4, repack=True)
+    _run(b=1, h=6, w=16, c=8, mid=4, seed=3, repack=True)
+
+
+def test_cab_chain_repack_out_shift():
+    b, h, w, c, mid, s = 1, 24, 32, 12, 4, 4
+    args = _params(c, mid, seed=7)
+    x = jax.random.normal(jax.random.PRNGKey(11), (b, h, w, c)) * 0.5
+    want_u, want_s = cab_chain_reference(x, *args)
+    want_u = jnp.roll(want_u, (-s, -s), axis=(1, 2))
+    got_u, got_s = cab_chain(x, *args, interpret=True, out_shift=s,
+                             repack=True)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=2e-3, rtol=1e-4)
 
 
 def test_cab_chain_out_shift_folds_the_roll():
