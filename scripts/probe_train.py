@@ -1,7 +1,13 @@
 #!/usr/bin/env python
-"""Attribute the cached-vs-live train-step anomaly (r5): the cached
-head-only step measured 6.2 s/step while the live step (same head PLUS all
-three experts in-graph) measured 0.9 s — backwards. Times each layer:
+"""Attribute cached-vs-live train-step cost layer by layer (r5).
+
+RESOLVED: an early r5 ad-hoc measurement saw 6.2 s/step cached vs 0.9 s
+live — that was tunnel contention (another TPU process), not real. This
+probe on an idle chip measured (bf16? no — f32 data, batch 14, patch 64):
+head_fwd 152 ms, head_fwdbwd 160, cached_l1 161, cached_full 180,
+live_full 677 — cached wins 3.8x (the live step's non-differentiated
+frozen experts prune their backward, PERF.md r3, which is why the gap is
+below the reference's 10-20x CUDA claim). Layers:
 
   head_fwd        FusionHead forward only (cached inputs)
   head_fwdbwd     value_and_grad of l1(head(x)) — isolates the head VJP
