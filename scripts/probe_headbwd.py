@@ -26,6 +26,7 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 TOGGLES = [
+    "step_l1",      # the exact make_train_step (optimizer incl.), l1 loss
     "full",
     "no_hierarchical",
     "no_lka",
@@ -113,8 +114,40 @@ def main():
 
     L1 = {"l1": 1.0, "ssim": 0, "fft": 0, "charbonnier": 0,
           "l2": 0, "vgg": 0, "swt": 0, "edge": 0}
+
+    def timeit_step(name, weights, iters=3):
+        """The exact production step (make_train_step, donated) — bridges
+        the value_and_grad probes to bench_train's number."""
+        from freqfusion_tpu.training.schedule import warmup_then_cosine_restarts
+        from freqfusion_tpu.training.steps import (init_train_state,
+                                                   make_optimizer,
+                                                   make_train_step)
+        model = FusionHead(FusionConfig())
+        tx = make_optimizer(warmup_then_cosine_restarts(1.5e-4, 5, 50))
+        state = jax.device_put(init_train_state(
+            model, tx, jax.random.PRNGKey(0), data))
+        step = make_train_step(model, CombinedLoss(weights), tx)
+        jfn = jax.jit(step, donate_argnums=0)
+        drng = jax.random.PRNGKey(1)
+        t0 = time.time()
+        state, metrics = jfn(state, data, drng)
+        _ = float(metrics["total"])
+        compile_s = time.time() - t0
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            state, metrics = jfn(state, data, drng)
+            _ = float(metrics["total"])
+            ts.append(time.perf_counter() - t0)
+        print(json.dumps({"probe": name, "batch": batch, "patch": patch,
+                          "compile_s": round(compile_s, 1),
+                          "ms": round(float(np.median(ts)) * 1e3, 1)}),
+              flush=True)
+
     for name in names:
-        if name == "full":
+        if name == "step_l1":
+            timeit_step(name, L1)
+        elif name == "full":
             timeit(name, FusionConfig(), L1)
         elif name.startswith("no_"):
             timeit(name, FusionConfig(**{f"enable_{name[3:]}": False}), L1)
