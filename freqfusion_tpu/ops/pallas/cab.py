@@ -67,28 +67,32 @@ def _kernel(x_ref, xt2_ref, xt1_ref, xb1_ref, xb2_ref, lnw_ref, lnb_ref,
 
     # conv1 (C→mid) over the out1 region [bh+2, w+2]
     r1, q1 = bh + 2, w + 2
-    acc = jnp.zeros((r1 * q1, mid), jnp.float32)
     if repack:
-        # 3-matmul repack (PERF.md r4 open lever): lane-concat the 3
-        # dx-shifted views ONCE (fresh aligned buffer), then one K=3C
-        # matmul per dy on an outer-dim slice — kills the 9 per-tap
-        # sublane-offset slice+reshape VMEM copies. Weight rows are
-        # already dy-major ((dy·3+dx)·c + i = dy·3c + dx·c + i).
-        zw = jnp.concatenate([z[:, dx:dx + q1, :] for dx in range(3)],
-                             axis=-1)  # [bh+4, q1, 3c]
+        # 3-D dot_general repack (r5): contract the lane dim of the tap
+        # VIEW directly — no [r1,q1,c]→[r1·q1,c] reshape. q1=W+2 is never
+        # 8-sublane-aligned, so that reshape re-paves the whole strip per
+        # tap; skipping it removes 9 VMEM copies per conv. (The r5
+        # lane-concat variant miscompiled: tpu.concatenate of 180-lane
+        # pieces puts inputs at non-vreg offsets — Mosaic rejects it.)
+        acc = jnp.zeros((r1, q1, mid), jnp.float32)
         for dy in range(3):
-            tap = zw[dy:dy + r1].reshape(r1 * q1, 3 * c)
-            acc = acc + jnp.dot(tap, w1_ref[dy * 3 * c:(dy + 1) * 3 * c, :],
-                                preferred_element_type=jnp.float32)
+            for dx in range(3):
+                acc = acc + jax.lax.dot_general(
+                    z[dy:dy + r1, dx:dx + q1, :],
+                    w1_ref[(dy * 3 + dx) * c:(dy * 3 + dx + 1) * c, :],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        g = _gelu_exact(acc + b1_ref[0])
     else:
         # one tap = one MXU matmul on the shifted window view
+        acc = jnp.zeros((r1 * q1, mid), jnp.float32)
         for dy in range(3):
             for dx in range(3):
                 tap = z[dy:dy + r1, dx:dx + q1, :].reshape(r1 * q1, c)
                 acc = acc + jnp.dot(tap, w1_ref[(dy * 3 + dx) * c:
                                                 (dy * 3 + dx + 1) * c, :],
                                     preferred_element_type=jnp.float32)
-    g = _gelu_exact(acc + b1_ref[0]).reshape(r1, q1, mid)
+        g = _gelu_exact(acc + b1_ref[0]).reshape(r1, q1, mid)
     # GELU(b1) ≠ 0: re-zero the out-of-image ring before conv2 reads it
     rows1 = (jax.lax.broadcasted_iota(jnp.int32, (r1, 1, 1), 0)
              + i * bh - 1)
@@ -98,19 +102,18 @@ def _kernel(x_ref, xt2_ref, xt1_ref, xb1_ref, xb2_ref, lnw_ref, lnb_ref,
     g = (g * r1live * c1live).astype(dt)
 
     # conv2 (mid→C) over the block's own [bh, w]
-    acc2 = jnp.zeros((bh * w, c), jnp.float32)
     if repack:
-        # caller pads mid up to the 128-lane grid (free on the MXU — N<128
-        # wastes the same array cycles) so this lane-dim concat stays at
-        # ≥128-lane pieces (sub-128 concats miscompile — PERF.md Mosaic)
-        gw = jnp.concatenate([g[:, dx:dx + w, :] for dx in range(3)],
-                             axis=-1)  # [bh+2, w, 3·mid]
+        acc2 = jnp.zeros((bh, w, c), jnp.float32)
         for dy in range(3):
-            tap = gw[dy:dy + bh].reshape(bh * w, 3 * mid)
-            acc2 = acc2 + jnp.dot(tap, w2_ref[dy * 3 * mid:
-                                              (dy + 1) * 3 * mid, :],
-                                  preferred_element_type=jnp.float32)
+            for dx in range(3):
+                acc2 = acc2 + jax.lax.dot_general(
+                    g[dy:dy + bh, dx:dx + w, :],
+                    w2_ref[(dy * 3 + dx) * mid:(dy * 3 + dx + 1) * mid, :],
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        acc2 = acc2.reshape(bh * w, c)
     else:
+        acc2 = jnp.zeros((bh * w, c), jnp.float32)
         for dy in range(3):
             for dx in range(3):
                 tap = g[dy:dy + bh, dx:dx + w, :].reshape(bh * w, mid)
@@ -158,21 +161,8 @@ def cab_chain(x, ln_w, ln_b, w1, b1, w2, b2, interpret: bool = False,
     if repack is None:
         import os
         repack = os.environ.get("FREQFUSION_CAB_REPACK", "0") == "1"
-    if repack:
-        # pad mid up to the 128-lane grid: free on the MXU (N<128 wastes
-        # the same cycles) and keeps conv2's lane-concat pieces ≥128 wide.
-        # gelu(b1_pad=0)=0 and w2's padded rows are zero → exact math.
-        midp = max(mid, -(-mid // 128) * 128)
-        if midp != mid:
-            w1 = jnp.pad(w1, [(0, 0), (0, 0), (0, 0), (0, midp - mid)])
-            b1 = jnp.pad(b1, [(0, midp - mid)])
-            w2 = jnp.pad(w2, [(0, 0), (0, 0), (0, midp - mid), (0, 0)])
-            mid = midp
-        chans = (c, 3 * c, mid, 3 * mid, c)
-    else:
-        chans = (c, c, mid, mid, c)
 
-    bh = _pick_bh(h, w + 4, chans)
+    bh = _pick_bh(h, w + 4, (c, c, mid, mid, c))
     xla_roll = False
     if out_shift:
         assert 0 < out_shift < min(h, w), (out_shift, h, w)
