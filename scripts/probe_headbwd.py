@@ -147,6 +147,16 @@ def main():
     for name in names:
         if name == "step_l1":
             timeit_step(name, L1)
+        elif name == "step_full":
+            # the EXACT bench_train cached program (stage-1 weights +
+            # optimizer): if this reproduces ~6.3 s while step_l1 and the
+            # single-term value_and_grad probes stay <0.5 s, the pathology
+            # is the ssim+fft COMBINATION in one graph
+            timeit_step(name, {**L1, "ssim": 0.1, "fft": 0.05})
+        elif name == "step_ssim":
+            timeit_step(name, {**L1, "ssim": 0.1})
+        elif name == "step_fft":
+            timeit_step(name, {**L1, "fft": 0.05})
         elif name == "full":
             timeit(name, FusionConfig(), L1)
         elif name.startswith("no_"):
