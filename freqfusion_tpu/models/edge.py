@@ -28,15 +28,13 @@ def _gaussian_kernel(size: int = 5, sigma: float = 1.5) -> np.ndarray:
 
 
 def gaussian_blur(x: jnp.ndarray, size: int = 5, sigma: float = 1.5) -> jnp.ndarray:
-    """Fixed depthwise Gaussian blur with zero 'same' padding (torch conv2d
-    padding=2 semantics)."""
-    c = x.shape[-1]
-    k = jnp.asarray(_gaussian_kernel(size, sigma))[:, :, None, None]
-    k = jnp.tile(k, (1, 1, 1, c)).astype(x.dtype)
-    return jax.lax.conv_general_dilated(
-        x, k, (1, 1), padding=[(size // 2, size // 2)] * 2,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
+    """Fixed Gaussian blur with zero 'same' padding (torch conv2d padding=2
+    semantics). Runs as two banded-Toeplitz matmuls over the spatial axes
+    (ops/common.gaussian_blur_matmul): the 3-channel HR pyramid blurs were
+    depthwise convs at 3/128 lane utilization — the single biggest head
+    component at the bench shape (probe_head r5: edge 94 ms of 229)."""
+    from ..ops.common import gaussian_blur_matmul
+    return gaussian_blur_matmul(x, size, sigma)
 
 
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:

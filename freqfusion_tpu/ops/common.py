@@ -7,6 +7,7 @@ code never thinks about layout again.
 
 from __future__ import annotations
 
+import functools as _functools
 import jax
 import jax.numpy as jnp
 
@@ -69,3 +70,36 @@ def same_pad(x: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:
     ph, pw = kh // 2, kw // 2
     cfg = [(0, 0)] * (x.ndim - 3) + [(ph, ph), (pw, pw), (0, 0)]
     return jnp.pad(x, cfg)
+
+
+@_functools.lru_cache(maxsize=None)
+def blur_band_matrix(n: int, size: int, sigma: float):
+    """[n, n] banded Toeplitz matrix of a 1-D gaussian with zero-padded
+    'same' conv semantics (border rows just lose mass — torch
+    F.conv2d(padding=size//2)). m[i, j] = g[i - j + size//2]."""
+    import numpy as np
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2.0 * sigma ** 2))
+    g = (g / g.sum()).astype(np.float32)
+    pad = size // 2
+    m = np.zeros((n, n), np.float32)
+    for k, gk in enumerate(g):
+        off = k - pad
+        idx = np.arange(max(0, -off), min(n, n - off))
+        m[idx + off, idx] += gk
+    return m
+
+
+def gaussian_blur_matmul(x: jnp.ndarray, size: int, sigma: float) -> jnp.ndarray:
+    """Separable gaussian blur of NHWC images as two banded-Toeplitz
+    MATMULS over the spatial axes (r5). Depthwise convs on few-channel
+    images run at C/128 lane utilization and their VJP lowers to
+    conv-transpose; this form keeps both directions on the MXU with
+    B·W·C-row matmuls. Numerically the zero-padded 'same' depthwise conv
+    of the outer-product window (ssim regression test pins it)."""
+    mh = jnp.asarray(blur_band_matrix(x.shape[1], size, sigma), x.dtype)
+    mw = jnp.asarray(blur_band_matrix(x.shape[2], size, sigma), x.dtype)
+    y = jnp.tensordot(x, mh, axes=[[1], [0]],
+                      precision=jax.lax.Precision.HIGHEST)   # [B,W,C,H']
+    y = jnp.tensordot(y, mw, axes=[[1], [0]],
+                      precision=jax.lax.Precision.HIGHEST)   # [B,C,H',W']
+    return jnp.transpose(y, (0, 2, 3, 1))

@@ -214,3 +214,39 @@ def test_swt_loss_all_families():
               "rbio1.3"):
         assert float(losses.swt_loss(a, b, w, 2)) > 0.0, w
         assert float(losses.swt_loss(a, a, w, 2)) < 1e-6, w
+
+
+def test_ssim_matmul_form_matches_depthwise_conv():
+    """r5: ssim_loss's banded-Toeplitz matmul filtering (MXU-friendly,
+    symmetric VJP) is numerically the depthwise-conv form, value AND grad."""
+    import jax
+    import jax.lax as lax
+
+    def ssim_conv(pred, target, window_size=11):
+        c = pred.shape[-1]
+        win = jnp.asarray(losses._gaussian_window(window_size))[:, :, None, None]
+        win = jnp.tile(win, (1, 1, 1, c))
+        pad = window_size // 2
+
+        def filt(x):
+            return lax.conv_general_dilated(
+                x, win, (1, 1), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c, precision=lax.Precision.HIGHEST)
+
+        mu1, mu2 = filt(pred), filt(target)
+        s1 = filt(pred * pred) - mu1 * mu1
+        s2 = filt(target * target) - mu2 * mu2
+        s12 = filt(pred * target) - mu1 * mu2
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        smap = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))
+        return 1.0 - jnp.mean(smap)
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(size=(2, 37, 53, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(2, 37, 53, 3)).astype(np.float32))
+    assert abs(float(losses.ssim_loss(a, b)) - float(ssim_conv(a, b))) < 1e-6
+    gn = jax.grad(lambda p: losses.ssim_loss(p, b))(a)
+    go = jax.grad(lambda p: ssim_conv(p, b))(a)
+    assert float(jnp.max(jnp.abs(gn - go))) < 1e-6
