@@ -148,6 +148,19 @@ def _pick_bh(h: int, w: int, chans, budget_bytes=None) -> int:
     return bh
 
 
+def _naf_budget(c: int):
+    """Per-level strip budget: the width-64 HR levels run 2-row strips at
+    the 16 MB default and are grid-overhead-bound — the r5 sweep
+    (probe_nafparts) measured enc0 26.6→22.3 ms/block and enc2 2.6→1.7 at
+    a 48 MB budget, with no compile blowup. Deeper (c>256) levels are
+    MXU-bound and keep the default. Scales with FREQFUSION_STRIP_BUDGET_MB
+    so cross-kernel sweeps still move it proportionally."""
+    import os
+    env = os.environ.get("FREQFUSION_STRIP_BUDGET_MB")
+    base = int(float(env) * 1_000_000) if env else 16_000_000
+    return 3 * base if c <= 256 else base
+
+
 def naf_block_stage_a(x, ln_w, ln_b, w1, b1, wdw, bdw,
                       interpret: bool = False, mxu_dtype=None):
     """x [B,H,W,C] → (g [B,H,W,C], sums [B,1,1,C]).
@@ -160,7 +173,8 @@ def naf_block_stage_a(x, ln_w, ln_b, w1, b1, wdw, bdw,
     w1 = w1.astype(mdt)
     dw = w1.shape[-1]
     # strips hold xa + its LN copy [2c] + t [dw] + iota masks + acc [3·dw]
-    bh = _pick_bh(h, w + 2, (c, c, dw, dw, dw, dw))
+    bh = _pick_bh(h, w + 2, (c, c, dw, dw, dw, dw),
+                  budget_bytes=_naf_budget(c))
     nb = h // bh
     grid = (b, nb)
     xp = jnp.pad(x, [(0, 0), (0, 0), (1, 1), (0, 0)])
@@ -220,7 +234,7 @@ def naf_block_stage_b(g, x, att, w3, b3, beta, ln2_w, ln2_b, w4, b4,
     mdt = _mxu_dtype(g.dtype, interpret, mxu_dtype)
     w3, w4, w5 = (t.astype(mdt) for t in (w3, w4, w5))
     dw = w4.shape[-1]
-    bh = _pick_bh(h, w, (c, c, dw, c))
+    bh = _pick_bh(h, w, (c, c, dw, c), budget_bytes=_naf_budget(c))
     grid = (b, h // bh)
 
     f32 = lambda t: t.astype(jnp.float32)
