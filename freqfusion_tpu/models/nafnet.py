@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.common import channel_layernorm, pixel_shuffle
+from .layers import SeamConv
 from ..ops.resize import upsample
 
 
@@ -169,7 +170,10 @@ class NAFNet(nn.Module):
     @nn.compact
     def __call__(self, inp) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (output, pre_ending_features [B,H,W,width])."""
-        x = nn.Conv(self.width, (3, 3), name="intro")(inp)
+        # 3->64 at HR: XLA lowers few-channel convs at C/128 lane
+        # utilization (probe_nafglue r5: 35.5 ms); the strip kernel
+        # reads/writes the real channels only
+        x = SeamConv(self.width, self.use_pallas, name="intro")(inp)
 
         encs = []
         chan = self.width
@@ -191,7 +195,8 @@ class NAFNet(nn.Module):
             x = NAFStage(chan, num, self.use_pallas, name=f"decoders_{i}")(x)
 
         feats = x  # input of the `ending` conv — the fusion-head feature tap
-        x = nn.Conv(self.img_channel, (3, 3), name="ending")(x)
+        x = SeamConv(self.img_channel, self.use_pallas,  # 64->3 at HR
+                     name="ending")(x)
         x = x + inp
         return x, feats
 
