@@ -227,16 +227,28 @@ class HAB(nn.Module):
             k1, b1, k2, b2 = mlp(x, raw=True)
             from ..ops.pallas.wattn import fused_hab_block
             xs, cxs = shortcut, cab_pre
+            # the X roll folds into the kernel's quadrant index maps when
+            # the shift is a half-window (FREQFUSION_HAB_INSHIFT=0 restores
+            # the XLA roll); the CAB roll is already folded into cab_chain's
+            # store, leaving only the output un-roll in XLA
+            import os
+            in_shift = 0
             if self.shift > 0:
-                sh = (-self.shift, -self.shift)
-                xs = jnp.roll(xs, sh, axis=(1, 2))
+                if (self.shift * 2 == self.window
+                        and os.environ.get("FREQFUSION_HAB_INSHIFT", "0")
+                        == "1"):  # default off until the TPU A/B validates
+                    in_shift = self.shift
+                else:
+                    xs = jnp.roll(xs, (-self.shift, -self.shift),
+                                  axis=(1, 2))
                 if not cab_rolled:
-                    cxs = jnp.roll(cxs, sh, axis=(1, 2))
+                    cxs = jnp.roll(cxs, (-self.shift, -self.shift),
+                                   axis=(1, 2))
             out = fused_hab_block(
                 xs, cxs, ln1_w, ln1_b, ln2_w, ln2_b, wqkv, bqkv, wproj,
                 bproj, k1, b1, k2, b2, bias, mask,
                 (self.window, self.window), self.num_heads, self.conv_scale,
-                cab_scale=ca_scale)
+                cab_scale=ca_scale, in_shift=in_shift)
             if self.shift > 0:
                 out = jnp.roll(out, (self.shift, self.shift), axis=(1, 2))
             return out

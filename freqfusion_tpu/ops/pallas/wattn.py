@@ -207,7 +207,7 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 bias_ref, ln1w_ref, ln1b_ref, ln2w_ref, ln2b_ref,
                 w1_ref, b1_ref, w2_ref, b2_ref, *rest, wsh: int, wsw: int,
                 num_heads: int, head_dim: int, gh: int, has_mask: bool,
-                has_ca: bool, conv_scale: float, mdt):
+                has_ca: bool, conv_scale: float, mdt, quad: bool = False):
     """Whole HAB minus the CAB convs: LN1 → W-MSA (+proj) → residual combine
     with the precomputed CAB branch → LN2 → MLP → residual, one HBM read of
     (x, conv_x) and one write. See HAB in models/hat.py for the XLA chain.
@@ -215,15 +215,27 @@ def _kernel_hab(x_ref, cx_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     Shifted blocks (has_mask) receive bias+mask pre-merged per window type
     ([1,nh,N,N] block, type picked by the index map) — no in-kernel mask."""
     rest = list(rest)
+    if quad:
+        # in_shift: x arrives as 4 wrap-around quadrant refs (the caller's
+        # jnp.roll folded into the index maps); assemble the rolled window.
+        # Sublane-dim concat of 8-row pieces sits on the 8-sublane grid and
+        # lane rows are full-width — the 128-alignment rule is satisfied.
+        xtr_ref, xbl_ref, xbr_ref = rest[:3]
+        rest = rest[3:]
+        top = jnp.concatenate([x_ref[0], xtr_ref[0]], axis=1)
+        bot = jnp.concatenate([xbl_ref[0], xbr_ref[0]], axis=1)
+        x_win = jnp.concatenate([top, bot], axis=0)    # [wsh, wsw, c]
+    else:
+        x_win = x_ref[0]
     ca_ref = rest.pop(0) if has_ca else None
     (o_ref,) = rest
     n = wsh * wsw
-    c = x_ref.shape[-1]
+    c = x_win.shape[-1]
     cp = wproj_ref.shape[0]
     hdp = cp // num_heads
     dt = mdt                         # MXU operand dtype (_mxu_dtype)
     bias2 = bias_ref[0] if has_mask else bias_ref
-    xb = x_ref[0].reshape(gh * n, c)
+    xb = x_win.reshape(gh * n, c)
     ln1 = _ln(xb, ln1w_ref[0], ln1b_ref[0]).astype(dt)
     qkv = jnp.dot(ln1, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[0]).astype(dt)
@@ -273,13 +285,19 @@ def fused_hab_block(
     max_gh: int = 4,
     interpret: bool = False,
     mxu_dtype=None,
+    in_shift: int = 0,
 ) -> jnp.ndarray:
     """One fused HAB pass (everything except the CAB convs): returns
     x + attn(LN1(x)) + conv_scale·conv_x + MLP(LN2(·)).
 
-    For shifted blocks the caller rolls x/conv_x and un-rolls the result —
-    residuals commute with the roll, so doing the whole block in rolled
-    coordinates is math-identical (models/hat.py HAB).
+    For shifted blocks the caller rolls conv_x (cab_chain's folded store
+    does it for free) and un-rolls the result — residuals commute with the
+    roll, so doing the whole block in rolled coordinates is math-identical
+    (models/hat.py HAB). With `in_shift` the X roll is folded in here too:
+    x is passed UNROLLED and each window assembles from 4 wrap-around
+    half-window quadrant refs (index-map modular arithmetic), saving the
+    65 MB XLA roll per shifted HAB. Requires in_shift == wsh//2 == wsw//2
+    and a mask (gh == 1).
     """
     b, h, w, c = x.shape
     wsh, wsw = window
@@ -288,6 +306,9 @@ def fused_hab_block(
     hd = c // num_heads
     n_wr, n_wc = h // wsh, w // wsw
     has_mask = mask is not None
+    if in_shift:
+        assert has_mask and in_shift * 2 == wsh and in_shift * 2 == wsw, \
+            (in_shift, window)
     # masked calls run gh=1 so the per-program merged bias type is exact
     # (gh was measured runtime-neutral — PERF.md r3 MAX_GH experiment)
     gh = 1 if has_mask else _pick_gh(n_wr, max_gh)
@@ -320,8 +341,21 @@ def fused_hab_block(
         bias_arg = f32(bias)
         bias_spec = pl.BlockSpec((num_heads, n, n), const(0, 0, 0),
                                  memory_space=pltpu.VMEM)
+    if in_shift:
+        # x in 8-px half-window blocks; window (i,j) of roll(x, (-s,-s))
+        # assembles from blocks (2i+1|2i+2, 2j+1|2j+2) mod the 8-grid.
+        # x_ref becomes the TL quadrant; TR/BL/BR ride as trailing refs.
+        nh8, nw8 = h // in_shift, w // in_shift
+        quad = lambda ro, co: pl.BlockSpec(
+            (1, in_shift, in_shift, c),
+            lambda bi, i, j, ro=ro, co=co: (
+                bi, (2 * i + 1 + ro) % nh8, (2 * j + 1 + co) % nw8, 0),
+            memory_space=pltpu.VMEM)
+        x_spec = quad(0, 0)
+    else:
+        x_spec = img_spec
     in_specs = [
-        img_spec, img_spec,
+        x_spec, img_spec,
         pl.BlockSpec((c, 3 * cp), const(0, 0), memory_space=pltpu.VMEM),
         vec(3 * cp),
         pl.BlockSpec((cp, c), const(0, 0), memory_space=pltpu.VMEM),
@@ -338,6 +372,11 @@ def fused_hab_block(
             f32(ln1_w).reshape(1, -1), f32(ln1_b).reshape(1, -1),
             f32(ln2_w).reshape(1, -1), f32(ln2_b).reshape(1, -1),
             w1, f32(b1).reshape(1, -1), w2, f32(b2).reshape(1, -1)]
+    if in_shift:
+        # TR / BL / BR quadrant views of the same x (trailing refs)
+        for ro, co in ((0, 1), (1, 0), (1, 1)):
+            in_specs.append(quad(ro, co))
+            args.append(x)
 
     has_ca = cab_scale is not None
     if has_ca:
@@ -349,7 +388,7 @@ def fused_hab_block(
     kernel = functools.partial(
         _kernel_hab, wsh=wsh, wsw=wsw, num_heads=num_heads, head_dim=hd,
         gh=gh, has_mask=has_mask, has_ca=has_ca,
-        conv_scale=float(conv_scale), mdt=mdt)
+        conv_scale=float(conv_scale), mdt=mdt, quad=bool(in_shift))
     flops_per = (2 * gh * n * c * (4 * cp + 2 * hidden)
                  + 2 * gh * num_heads * n * n * hdp * 2)
     return pl.pallas_call(

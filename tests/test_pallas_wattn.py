@@ -260,6 +260,45 @@ def test_fused_hab_block_matches_module():
                                    atol=5e-5, rtol=1e-4)
 
 
+def test_fused_hab_block_in_shift_folds_the_x_roll():
+    """in_shift=window//2: x passes UNROLLED and the kernel assembles each
+    rolled window from 4 wrap-around quadrant refs — must equal the
+    roll-then-call form exactly (r5 roll folding)."""
+    from freqfusion_tpu.models.hat import CAB, HAB, apply_ln
+    from freqfusion_tpu.ops.pallas.wattn import fused_hab_block
+
+    c, nh, window = 24, 4, 8
+    shift, seed = window // 2, 7
+    m = HAB(dim=c, num_heads=nh, window=window, shift=shift, compress=3,
+            squeeze=6, conv_scale=0.01, mlp_ratio=2.0, use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(seed), (2, 16, 24, c)) * 0.3
+    variables = m.init(jax.random.PRNGKey(seed + 1), x)
+    want = m.apply(variables, x)
+
+    p = variables["params"]
+    ln1w, ln1b = p["norm1"]["scale"], p["norm1"]["bias"]
+    conv_x = CAB(c, 3, 6).apply({"params": p["conv_block"]},
+                                apply_ln(x, ln1w, ln1b))
+    n = window * window
+    rpi = W.relative_position_index(window, window).reshape(-1)
+    bias = jnp.transpose(
+        p["attn"]["relative_position_bias_table"][rpi].reshape(n, n, nh),
+        (2, 0, 1))
+    mask = W.shift_attn_mask(16, 24, window, window, shift, shift)
+    cxs = jnp.roll(conv_x, (-shift, -shift), axis=(1, 2))
+    got = fused_hab_block(
+        x, cxs, ln1w, ln1b, p["norm2"]["scale"], p["norm2"]["bias"],
+        p["attn"]["qkv_kernel"], p["attn"]["qkv_bias"],
+        p["attn"]["proj_kernel"], p["attn"]["proj_bias"],
+        p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+        p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"],
+        bias, mask, (window, window), nh, 0.01, interpret=True,
+        in_shift=shift)
+    got = jnp.roll(got, (shift, shift), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_fused_residual_ln_mlp_matches_xla():
     from freqfusion_tpu.models.hat import apply_ln, gelu
     from freqfusion_tpu.ops.pallas.wattn import fused_residual_ln_mlp
