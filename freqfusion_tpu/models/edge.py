@@ -75,7 +75,8 @@ class EdgeRefineBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        from .layers import conv3x3_seam
         from .nafnet import _ConvParams
         cin, fc = x.shape[-1], self.feat_ch
         wp, bp = _ConvParams((1, 1, cin, fc), name="proj")()
@@ -84,11 +85,15 @@ class EdgeRefineBlock(nn.Module):
         w3, b3 = _ConvParams((3, 3, fc, fc), name="conv3")()
         attn = SpatialEdgeAttention(fc, name="attn")
         wa1, ba1, wa2, ba2 = attn(raw=True)
+        # HR small-channel 3×3 convs → strip kernel (probe class as the
+        # NAF intro/ending fix, layers.conv3x3_seam); 1×1s stay XLA matmuls
+        act = (self.use_pallas and not train and not self.is_initializing())
 
         def conv(t, w, b, kk):
-            pad = [(kk // 2, kk // 2)] * 2
+            if kk == 3:
+                return conv3x3_seam(t, w, b, act)
             return jax.lax.conv_general_dilated(
-                t, w.astype(t.dtype), (1, 1), pad,
+                t, w.astype(t.dtype), (1, 1), [(0, 0), (0, 0)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
 
         identity = conv(x, wp, bp, 1)
@@ -120,7 +125,7 @@ class LaplacianEdgeRefinement(nn.Module):
         return pyramid
 
     @nn.compact
-    def __call__(self, sr_img):
+    def __call__(self, sr_img, train: bool = False):
         h, w = sr_img.shape[1], sr_img.shape[2]
         pyramid = self._pyramid(sr_img)
 
@@ -130,7 +135,7 @@ class LaplacianEdgeRefinement(nn.Module):
         feats = []
         for level, lap in enumerate(pyramid):
             f = EdgeRefineBlock(self.channels, self.use_pallas,
-                                name=f"edge_refiners_{level}")(lap)
+                                name=f"edge_refiners_{level}")(lap, train)
             if f.shape[1] != h or f.shape[2] != w:
                 f = resize(f, h, w, "bilinear")
             feats.append(f * level_w[level])
@@ -146,11 +151,11 @@ class LaplacianEdgeRefinement(nn.Module):
         wg2, bg2 = _ConvParams((3, 3, 16, 1), name="gate_conv2")()
         strength = self.param("edge_strength",
                               lambda k, s: jnp.asarray(self.edge_strength_init), ())
+        from .layers import conv3x3_seam
+        act = (self.use_pallas and not train and not self.is_initializing())
 
         def conv(t, w_, b_):
-            return jax.lax.conv_general_dilated(
-                t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
+            return conv3x3_seam(t, w_, b_, act)
 
         edge_map = conv(gelu(conv(allf, wf1, bf1)), wf2, bf2)
         g = conv(jnp.concatenate([sr_img, edge_map], axis=-1), wg1, bg1)

@@ -274,7 +274,8 @@ class FusionHead(nn.Module):
 
         if cfg.enable_hierarchical:
             fused = self.multi_res_fusion(
-                {n: expert_outputs[n] for n in EXPERT_ORDER[: cfg.num_experts]})
+                {n: expert_outputs[n] for n in EXPERT_ORDER[: cfg.num_experts]},
+                train=train)
             fused = fused * 0.7 + freq_weighted * 0.3
         elif cfg.enable_multi_resolution:
             # Baseline 64/128/256 fusion (enhanced_fusion.py:558-568).
@@ -325,5 +326,5 @@ class FusionHead(nn.Module):
         fused = self.fuse_experts(lr, expert_outputs, bands, train)
         fused = self.refine_net(fused, lr)
         if self.edge_refine is not None:
-            fused = self.edge_refine(fused)
+            fused = self.edge_refine(fused, train)
         return fused

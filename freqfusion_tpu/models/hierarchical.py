@@ -42,9 +42,10 @@ class ResBlock(nn.Module):
     """Two bias-free 3×3 convs with GELU, 0.1-init learnable residual scale."""
 
     channels: int
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x=None, raw: bool = False):
+    def __call__(self, x=None, raw: bool = False, train: bool = False):
         from .nafnet import _ConvParams
         c = self.channels
         w1, _ = _ConvParams((3, 3, c, c), use_bias=False, name="conv1")()
@@ -52,13 +53,10 @@ class ResBlock(nn.Module):
         scale = self.param("scale", lambda k, s: jnp.asarray(0.1), ())
         if raw:
             return w1, w2, scale
-
-        def conv(t, w):
-            return jax.lax.conv_general_dilated(
-                t, w.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-        h = conv(gelu(conv(x, w1)), w2)
+        from .layers import conv3x3_seam
+        act = (self.use_pallas and not train
+               and not self.is_initializing())
+        h = conv3x3_seam(gelu(conv3x3_seam(x, w1, None, act)), w2, None, act)
         return x + scale * h
 
 
@@ -71,24 +69,21 @@ class _Stage(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         from .nafnet import _ConvParams
         cin = x.shape[-1]
         w1, b1 = _ConvParams((3, 3, cin, self.out1), name="conv1")()
         w2, b2 = _ConvParams((3, 3, self.out1, self.out2), name="conv2")()
         gate = SpatialGate(self.out2, name="gate")
-        res = ResBlock(self.out2, name="res")
+        res = ResBlock(self.out2, self.use_pallas, name="res")
 
-        def conv(t, w_, b_):
-            o = jax.lax.conv_general_dilated(
-                t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return o if b_ is None else o + b_
-
-        x = gelu(conv(x, w1, b1))
-        x = gelu(conv(x, w2, b2))
+        from .layers import conv3x3_seam
+        act = (self.use_pallas and not train
+               and not self.is_initializing())
+        x = gelu(conv3x3_seam(x, w1, b1, act))
+        x = gelu(conv3x3_seam(x, w2, b2, act))
         x = gate(x)
-        return res(x)
+        return res(x, train=train)
 
 
 class HierarchicalFusion(nn.Module):
@@ -99,7 +94,8 @@ class HierarchicalFusion(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, expert_outputs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, expert_outputs: Dict[str, jnp.ndarray],
+                 train: bool = False) -> jnp.ndarray:
         stack = jnp.concatenate(list(expert_outputs.values()), axis=-1)
         h, w = stack.shape[1], stack.shape[2]
         h1, w1 = max(h // 4, 1), max(w // 4, 1)
@@ -107,17 +103,17 @@ class HierarchicalFusion(nn.Module):
         bc = self.base_channels
 
         s1_in = resize(stack, h1, w1, "bilinear")
-        f1 = _Stage(bc, bc, self.use_pallas, name="stage1")(s1_in)
+        f1 = _Stage(bc, bc, self.use_pallas, name="stage1")(s1_in, train)
 
         f1_up = resize(f1, h2, w2, "bilinear")
         s2_in = jnp.concatenate([f1_up, resize(stack, h2, w2, "bilinear")], axis=-1)
-        f2 = _Stage(bc, bc, self.use_pallas, name="stage2")(s2_in)
+        f2 = _Stage(bc, bc, self.use_pallas, name="stage2")(s2_in, train)
         rw12 = self.param("residual_weight_1_2", lambda k, s: jnp.asarray(0.2), ())
         f2 = f2 + rw12 * f1_up
 
         f2_up = resize(f2, h, w, "bilinear")
         s3_in = jnp.concatenate([f2_up, stack], axis=-1)
-        f3 = _Stage(bc, bc // 2, self.use_pallas, name="stage3")(s3_in)
+        f3 = _Stage(bc, bc // 2, self.use_pallas, name="stage3")(s3_in, train)
         rw23 = self.param("residual_weight_2_3", lambda k, s: jnp.asarray(0.2), ())
         f3 = f3 + rw23 * f2_up[..., : bc // 2]
 
@@ -125,10 +121,9 @@ class HierarchicalFusion(nn.Module):
         wr1, br1 = _ConvParams((3, 3, bc // 2, bc // 4),
                                name="to_rgb_conv1")()
         wr2, br2 = _ConvParams((3, 3, bc // 4, 3), name="to_rgb_conv2")()
-        def conv(t, w_, b_):
-            return jax.lax.conv_general_dilated(
-                t, w_.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
-
-        out = conv(gelu(conv(f3, wr1, br1)), wr2, br2)
+        from .layers import conv3x3_seam
+        act = (self.use_pallas and not train
+               and not self.is_initializing())
+        out = conv3x3_seam(gelu(conv3x3_seam(f3, wr1, br1, act)),
+                           wr2, br2, act)
         return jax.nn.sigmoid(out)

@@ -227,3 +227,22 @@ class ChannelSpatialAttention(nn.Module):
         x = SEChannelAttention(self.features, self.reduction,
                                name="channel_attention")(x)
         return CBAMSpatialAttention(self.kernel_size, name="spatial_attention")(x)
+
+
+def conv3x3_seam(t, w, b, active: bool):
+    """3×3 SAME conv on raw HWIO params; the Pallas strip kernel when
+    `active` (TPU eval path — callers pass `use_pallas and not train and
+    not self.is_initializing()`). XLA lowers small-channel HR convs at
+    C/128 lane utilization (probe_nafglue r5: 3→64 intro 35.5 ms, 64→3
+    ending 32.9 ms vs <1 ms of real MXU work); the strip kernel touches
+    only the real channels. FREQFUSION_HEAD_SEAM=0 restores XLA."""
+    if (active and jax.default_backend() == "tpu"
+            and os.environ.get("FREQFUSION_HEAD_SEAM", "1") != "0"):
+        from ..ops.pallas.cab import conv3x3_dense
+        bb = (b if b is not None
+              else jnp.zeros((w.shape[-1],), jnp.float32))
+        return conv3x3_dense(t, w.astype(t.dtype), bb)
+    o = jax.lax.conv_general_dilated(
+        t, w.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return o if b is None else o + b
