@@ -440,8 +440,10 @@ class HAT(nn.Module):
         mean = jnp.asarray(RGB_MEAN, dtype=x.dtype)
         x = (x - mean) * self.img_range
 
-        x = SeamConv(self.embed_dim, self.use_pallas,  # 3->C: lane-bound in XLA
-                     name="conv_first")(x)
+        # conv_first/conv_last stay nn.Conv: the r5 SeamConv swap measured
+        # WORSE in-model (+8-10 ms/expert) — XLA fuses these with the
+        # surrounding elementwise ops; standalone-op probes mislead here
+        x = nn.Conv(self.embed_dim, (3, 3), name="conv_first")(x)
         feat = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
         uniform = (len(set(self.depths)) == 1
                    and len(set(self.num_heads)) == 1)
@@ -469,7 +471,7 @@ class HAT(nn.Module):
         for s in range(int(math.log2(self.upscale))):
             x = nn.Conv(4 * self.num_feat, (3, 3), name=f"upsample_{s}")(x)
             x = pixel_shuffle(x, 2)
-        x = SeamConv(3, self.use_pallas, name="conv_last")(x)  # C->3 at HR
+        x = nn.Conv(3, (3, 3), name="conv_last")(x)
 
         x = x / self.img_range + mean
         return x, deep
