@@ -27,14 +27,28 @@ def _gaussian_kernel(size: int = 5, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g).astype(np.float32)
 
 
-def gaussian_blur(x: jnp.ndarray, size: int = 5, sigma: float = 1.5) -> jnp.ndarray:
+def gaussian_blur(x: jnp.ndarray, size: int = 5, sigma: float = 1.5,
+                  matmul: bool = False) -> jnp.ndarray:
     """Fixed Gaussian blur with zero 'same' padding (torch conv2d padding=2
-    semantics). Runs as two banded-Toeplitz matmuls over the spatial axes
-    (ops/common.gaussian_blur_matmul): the 3-channel HR pyramid blurs were
-    depthwise convs at 3/128 lane utilization — the single biggest head
-    component at the bench shape (probe_head r5: edge 94 ms of 229)."""
-    from ..ops.common import gaussian_blur_matmul
-    return gaussian_blur_matmul(x, size, sigma)
+    semantics). Two forms, same math (pinned by the ssim regression test):
+
+    - matmul=True: banded-Toeplitz matmuls over the spatial axes
+      (ops/common.gaussian_blur_matmul). ESSENTIAL under autodiff — the
+      depthwise-conv VJP poisoned the cached train step 15× (PERF.md r5).
+    - matmul=False (eval default): the depthwise conv — in the EVAL head
+      XLA fuses it with the pyramid elementwise ops and the matmul form
+      measured slower in-model.
+    """
+    if matmul:
+        from ..ops.common import gaussian_blur_matmul
+        return gaussian_blur_matmul(x, size, sigma)
+    c = x.shape[-1]
+    k = jnp.asarray(_gaussian_kernel(size, sigma))[:, :, None, None]
+    k = jnp.tile(k, (1, 1, 1, c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), padding=[(size // 2, size // 2)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
@@ -110,13 +124,15 @@ class LaplacianEdgeRefinement(nn.Module):
     edge_strength_init: float = 0.15
     use_pallas: bool = False
 
-    def _pyramid(self, img) -> List[jnp.ndarray]:
+    def _pyramid(self, img, train: bool = False) -> List[jnp.ndarray]:
         pyramid = []
         current = img
         for level in range(self.num_levels):
             h, w = current.shape[1], current.shape[2]
             if level < self.num_levels - 1:
-                down = avg_pool2(gaussian_blur(current))
+                # matmul blur under autodiff (the conv VJP poisoned the
+                # cached train step 15x); fused conv on the eval path
+                down = avg_pool2(gaussian_blur(current, matmul=train))
                 up = resize(down, h, w, "bilinear")
                 pyramid.append(current - up)
                 current = down
@@ -127,7 +143,7 @@ class LaplacianEdgeRefinement(nn.Module):
     @nn.compact
     def __call__(self, sr_img, train: bool = False):
         h, w = sr_img.shape[1], sr_img.shape[2]
-        pyramid = self._pyramid(sr_img)
+        pyramid = self._pyramid(sr_img, train)
 
         level_w = jax.nn.softmax(self.param(
             "level_weights",

@@ -237,7 +237,12 @@ def conv3x3_seam(t, w, b, active: bool):
     ending 32.9 ms vs <1 ms of real MXU work); the strip kernel touches
     only the real channels. FREQFUSION_HEAD_SEAM=0 restores XLA."""
     if (active and jax.default_backend() == "tpu"
-            and os.environ.get("FREQFUSION_HEAD_SEAM", "1") != "0"):
+            # default OFF: the r5 in-model A/B REGRESSED the head (+37 ms
+            # hierarchical, edge 94->140) — unlike the standalone probes,
+            # XLA fuses these convs with their elementwise neighbours and
+            # the pallas boundary breaks that (same lesson as the HAT/DAT
+            # conv_first/conv_last revert)
+            and os.environ.get("FREQFUSION_HEAD_SEAM", "0") == "1"):
         from ..ops.pallas.cab import conv3x3_dense
         bb = (b if b is not None
               else jnp.zeros((w.shape[-1],), jnp.float32))
