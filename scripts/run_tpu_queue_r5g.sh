@@ -18,4 +18,5 @@ run naf_seam0        5400 env FREQFUSION_SEAM_KERNEL=0 python scripts/probe_whol
 # HAT: in-model x-roll folding A/B (post conv revert baseline first)
 run hat_inshift0     5400 python scripts/probe_whole.py hat --dtype=bfloat16
 run hat_inshift1     5400 env FREQFUSION_HAB_INSHIFT=1 python scripts/probe_whole.py hat --dtype=bfloat16
+run train_cached_g   3600 python scripts/bench_train.py
 echo "=== queue G done $(date +%H:%M:%S) ===" | tee -a .tpu_logs/queue.log
