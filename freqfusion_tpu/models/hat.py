@@ -235,8 +235,8 @@ class HAB(nn.Module):
             in_shift = 0
             if self.shift > 0:
                 if (self.shift * 2 == self.window
-                        and os.environ.get("FREQFUSION_HAB_INSHIFT", "0")
-                        == "1"):  # default off until the TPU A/B validates
+                        and os.environ.get("FREQFUSION_HAB_INSHIFT", "1")
+                        != "0"):  # in-model A/B r5: HAT 714.9 -> 684.4 ms
                     in_shift = self.shift
                 else:
                     xs = jnp.roll(xs, (-self.shift, -self.shift),

@@ -11,6 +11,7 @@ run() {
   local rc=$?
   echo "=== $name rc=$rc $(date +%H:%M:%S) ===" | tee -a .tpu_logs/queue.log
 }
+run parity_inshift   5400 python scripts/parity_inshift.py bfloat16
 # COLD: a separate empty cache dir isolates the cold-start number
 run bench_cold      10800 env FREQFUSION_JAX_CACHE=/tmp/ff_cold_cache python bench.py
 # WARM: fresh process, same cache dir now populated by the cold run
