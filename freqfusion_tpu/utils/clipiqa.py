@@ -240,6 +240,10 @@ def infer_clip_config(sd) -> Tuple[CLIPVisionTransformer,
     vision = CLIPVisionTransformer(
         patch=patch, width=vw, layers=v_layers, heads=max(1, vw // 64),
         output_dim=sd["visual.proj"].shape[1])
+    if "token_embedding.weight" not in sd:
+        # vision-only checkpoint (e.g. with precomputed prompt-feature
+        # buffers): the text tower is simply absent
+        return vision, None
     vocab, tw = sd["token_embedding.weight"].shape
     t_layers = len({k.split(".")[2] for k in sd
                     if k.startswith("transformer.resblocks.")})
@@ -260,6 +264,10 @@ def load_clip_full(vision: Optional[CLIPVisionTransformer],
     sd = cv.load_torch_checkpoint(weights_path)
     if vision is None or text is None:
         ivision, itext = infer_clip_config(sd)
+        if itext is None:
+            raise RuntimeError(
+                "CLIP checkpoint has no text tower (vision-only state "
+                "dict): the clipiqa metric needs encode_text")
         vision = vision if vision is not None else ivision
         text = text if text is not None else itext
     vvars = jax.eval_shape(

@@ -73,7 +73,7 @@ def simulate(shapes):
         "images": len(shapes),
         "distinct_buckets": len(hist),
         "histogram": dict(sorted(hist.items(), key=lambda kv: -kv[1])),
-        "compiled_buckets": len(stub._whole_shapes),
+        "compiled_buckets": len(getattr(stub, "_whole_shapes", set())),
         "whole_image": whole, "padded_up": padded_up, "tiled": tiled,
         "whole_image_pct": round(100.0 * (whole + padded_up)
                                  / max(1, len(shapes)), 1),

@@ -2,6 +2,8 @@
 published OpenAI ViT-B/32 visual architecture (the `clip` package is not
 installed; the mirror follows CLIP's model.py VisionTransformer exactly)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -194,3 +196,44 @@ def test_combined_loss_dispatches_clip():
     total, comps = crit(pred, target)
     assert "clip" in comps and np.isfinite(float(comps["clip"]))
     assert np.isfinite(float(total))
+
+
+def test_vision_only_checkpoint_with_prompt_buffers(tmp_path):
+    """r5 regression (review finding): a vision-only CLIP state dict with
+    precomputed positive/negative prompt buffers — the pre-text-tower
+    contract — must still load (infer_clip_config must not require text
+    keys), and a clip weight on a BROKEN checkpoint must degrade to FFT
+    instead of crashing the training run."""
+    import torch
+
+    from freqfusion_tpu.losses.clip import load_clip_params
+
+    sd = _synthetic_sd(seed=5)
+    sd["positive_features"] = np.random.default_rng(1).normal(
+        size=(4, 32)).astype(np.float32)
+    sd["negative_features"] = np.random.default_rng(2).normal(
+        size=(4, 32)).astype(np.float32)
+    path = tmp_path / "clip_vision_only.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               str(path))
+    model, variables, pos, neg = load_clip_params(None, str(path))
+    assert pos is not None and neg is not None and model is not None
+
+    # broken checkpoint (missing keys) + clip weight: degrade, don't crash
+    bad = {k: sd[k] for k in list(sd)[:3]}
+    bad_path = tmp_path / "clip_broken.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in bad.items()},
+               str(bad_path))
+    import freqfusion_tpu.losses as L
+    old = os.environ.get("FREQFUSION_CLIP_WEIGHTS")
+    os.environ["FREQFUSION_CLIP_WEIGHTS"] = str(bad_path)
+    try:
+        with pytest.warns(UserWarning):
+            crit = L.CombinedLoss({"l1": 1.0, "clip": 0.1})
+        assert crit.weights["clip"] == 0.0
+        assert crit.weights["fft"] >= 0.1
+    finally:
+        if old is None:
+            os.environ.pop("FREQFUSION_CLIP_WEIGHTS", None)
+        else:
+            os.environ["FREQFUSION_CLIP_WEIGHTS"] = old
