@@ -21,9 +21,8 @@ from .layers import gelu
 
 
 def _gaussian_kernel(size: int = 5, sigma: float = 1.5) -> np.ndarray:
-    coords = np.arange(size, dtype=np.float32) - size // 2
-    g = np.exp(-(coords**2) / (2 * sigma**2))
-    g = g / g.sum()
+    from ..ops.common import gaussian_1d
+    g = gaussian_1d(size, sigma)
     return np.outer(g, g).astype(np.float32)
 
 

@@ -72,14 +72,22 @@ def same_pad(x: jnp.ndarray, kh: int, kw: int) -> jnp.ndarray:
     return jnp.pad(x, cfg)
 
 
+def gaussian_1d(size: int, sigma: float):
+    """Normalized 1-D gaussian taps, float32 — THE construction every
+    gaussian window in the repo derives from (SSIM loss, edge pyramid,
+    blur_band_matrix), so the three can never drift apart."""
+    import numpy as np
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2.0 * sigma ** 2))
+    return (g / g.sum()).astype(np.float32)
+
+
 @_functools.lru_cache(maxsize=None)
 def blur_band_matrix(n: int, size: int, sigma: float):
     """[n, n] banded Toeplitz matrix of a 1-D gaussian with zero-padded
     'same' conv semantics (border rows just lose mass — torch
     F.conv2d(padding=size//2)). m[i, j] = g[i - j + size//2]."""
     import numpy as np
-    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2.0 * sigma ** 2))
-    g = (g / g.sum()).astype(np.float32)
+    g = gaussian_1d(size, sigma)
     pad = size // 2
     m = np.zeros((n, n), np.float32)
     for k, gk in enumerate(g):
